@@ -1,0 +1,91 @@
+"""Model facade and constructors.
+
+Capability parity with ``UrbanPredictor`` (reference src/model.py:295-329):
+dispatch on model_type ∈ {'unet', 'unet++'}, nb_filter derived from
+base_filters.  Also provides ``build_model`` from a hyperparameter dict with
+the reference's serving defaults, so converted checkpoints rebuild the exact
+architecture (reference test/evaluate.py:152-165, app/model_utils.py:60-96).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from maunet_tpu.models.unet import MetaUNet
+from maunet_tpu.models.unetpp import MetaUNetPP
+
+MODEL_TYPES = ("unet", "unet++")
+
+
+def UrbanPredictor(
+    model_type: str = "unet",
+    out_channels: int = 2,
+    temporal_dim: int = 64,
+    meta_dim: int = 64,
+    lstm_dim: int = 96,
+    base_filters: int = 64,
+    deep_supervision: bool = False,
+    temporal_embeddings: bool = True,
+    metadata_embeddings: bool = True,
+    lstm_mask_mode: str = "per_sample",
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> nn.Module:
+    """Facade dispatch (reference src/model.py:295-326).
+
+    Spatial channel count and LSTM sequence length are inferred from the
+    inputs at trace time (NHWC / (B, T)), so unlike the reference no
+    ``spatial_channels``/``seq_len`` arguments are needed.
+    """
+    if model_type == "unet":
+        return MetaUNet(
+            out_channels=out_channels,
+            temporal_dim=temporal_dim,
+            meta_dim=meta_dim,
+            lstm_dim=lstm_dim,
+            base_filters=base_filters,
+            temporal_embeddings=temporal_embeddings,
+            metadata_embeddings=metadata_embeddings,
+            lstm_mask_mode=lstm_mask_mode,
+            compute_dtype=compute_dtype,
+        )
+    if model_type == "unet++":
+        return MetaUNetPP(
+            out_channels=out_channels,
+            temporal_dim=temporal_dim,
+            meta_dim=meta_dim,
+            lstm_dim=lstm_dim,
+            base_filters=base_filters,
+            deep_supervision=deep_supervision,
+            temporal_embeddings=temporal_embeddings,
+            metadata_embeddings=metadata_embeddings,
+            lstm_mask_mode=lstm_mask_mode,
+            compute_dtype=compute_dtype,
+        )
+    raise ValueError(f"Unsupported model_type: {model_type!r} (expected one of {MODEL_TYPES})")
+
+
+def build_model(hyperparams: dict[str, Any], *, out_channels: int = 2,
+                lstm_mask_mode: str = "per_sample",
+                compute_dtype: jnp.dtype = jnp.bfloat16) -> nn.Module:
+    """Build a model from a checkpoint hyperparameter dict.
+
+    Defaults follow the reference evaluator (temporal_dim=16, meta_dim=8,
+    lstm_hidden=32 — test/evaluate.py:157-160); pass explicit values for the
+    app's serving defaults (64/64/96 — app/model_utils.py:71-74).
+    """
+    return UrbanPredictor(
+        model_type=hyperparams.get("model_type", "unet"),
+        out_channels=out_channels,
+        temporal_dim=int(hyperparams.get("temporal_dim", 16)),
+        meta_dim=int(hyperparams.get("meta_dim", 8)),
+        lstm_dim=int(hyperparams.get("lstm_hidden", 32)),
+        base_filters=int(hyperparams.get("base_filters", 64)),
+        deep_supervision=bool(hyperparams.get("deep_supervision", False)),
+        temporal_embeddings=bool(hyperparams.get("temporal_embeddings", True)),
+        metadata_embeddings=bool(hyperparams.get("metadata_embeddings", True)),
+        lstm_mask_mode=lstm_mask_mode,
+        compute_dtype=compute_dtype,
+    )

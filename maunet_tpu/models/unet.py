@@ -1,0 +1,96 @@
+"""Metadata-augmented classic U-Net.
+
+Capability parity with ``UrbanPredictor_unet`` (reference src/model.py:195-292):
+4-down/4-up U-Net over the 23-channel tile stack, with the temporal (LSTM) and
+metadata (MLP) embeddings optionally broadcast-concatenated **only at the
+bottleneck**, bilinear align-corners upsampling with exact-size fix-ups for
+odd chains, a 1×1 output conv, and tanh on the NDVI channel only (2-channel
+outputs).
+
+TPU-native differences: NHWC layout, bf16 compute / f32 params, the
+align-corners resize runs as MXU matmuls (maunet_tpu/ops/resize.py), and the
+LSTM handles sequence lengths explicitly (see encoders.TemporalEncoder).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from maunet_tpu.models.blocks import VGGBlock, broadcast_embeddings, max_pool_2x2
+from maunet_tpu.models.encoders import MetadataEncoder, TemporalEncoder
+from maunet_tpu.ops.resize import upsample_like
+
+
+class MetaUNet(nn.Module):
+    out_channels: int = 2
+    temporal_dim: int = 64
+    meta_dim: int = 64
+    lstm_dim: int = 96
+    base_filters: int = 64
+    temporal_embeddings: bool = True
+    metadata_embeddings: bool = True
+    lstm_mask_mode: str = "per_sample"
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        maps: jnp.ndarray,                       # (B, H, W, 23)
+        temp_series: jnp.ndarray,                # (B, T)
+        metadata: jnp.ndarray,                   # (B, 4 or 8)
+        temp_lengths: jnp.ndarray | None = None, # (B,)
+        train: bool = False,
+    ) -> jnp.ndarray:
+        nb = [self.base_filters * (2 ** i) for i in range(5)]
+        cd = self.compute_dtype
+        vgg = lambda name, mid, out: VGGBlock(mid, out, compute_dtype=cd, name=name)
+
+        maps = maps.astype(cd)
+
+        # Encoder path (reference src/model.py:267-270).
+        x0_0 = vgg("conv0_0", nb[0], nb[0])(maps, train)
+        x1_0 = vgg("conv1_0", nb[1], nb[1])(max_pool_2x2(x0_0), train)
+        x2_0 = vgg("conv2_0", nb[2], nb[2])(max_pool_2x2(x1_0), train)
+        x3_0 = vgg("conv3_0", nb[3], nb[3])(max_pool_2x2(x2_0), train)
+
+        # Bottleneck with optional embedding fusion (reference :273-276).
+        x4_0 = max_pool_2x2(x3_0)
+        fused = [x4_0]
+        h, w = x4_0.shape[1], x4_0.shape[2]
+        if self.temporal_embeddings:
+            temb = TemporalEncoder(
+                self.lstm_dim, self.temporal_dim, mask_mode=self.lstm_mask_mode,
+                compute_dtype=cd, name="temporal_encoder",
+            )(temp_series, temp_lengths)
+            fused.append(broadcast_embeddings(temb, h, w))
+        if self.metadata_embeddings:
+            memb = MetadataEncoder(self.meta_dim, compute_dtype=cd,
+                                   name="meta_encoder")(metadata.astype(jnp.float32))
+            fused.append(broadcast_embeddings(memb, h, w))
+        x4_0 = jnp.concatenate(fused, axis=-1) if len(fused) > 1 else x4_0
+        x4_0 = vgg("conv4_0", nb[4], nb[4])(x4_0, train)
+
+        # Decoder path: scale-2 upsample + exact-size match + skip concat
+        # (reference :279-282 — note the *double* interpolation for odd sizes).
+        def up_cat(deep, skip):
+            u = upsample_like(deep, skip.shape[1:3], pre_scale=2)
+            return jnp.concatenate([skip, u.astype(cd)], axis=-1)
+
+        x3_1 = vgg("conv3_1", nb[3], nb[3])(up_cat(x4_0, x3_0), train)
+        x2_1 = vgg("conv2_1", nb[2], nb[2])(up_cat(x3_1, x2_0), train)
+        x1_1 = vgg("conv1_1", nb[1], nb[1])(up_cat(x2_1, x1_0), train)
+        x0_1 = vgg("conv0_1", nb[0], nb[0])(up_cat(x1_1, x0_0), train)
+
+        output = nn.Conv(
+            self.out_channels, kernel_size=(1, 1), name="final",
+            dtype=jnp.float32, param_dtype=jnp.float32,
+        )(x0_1.astype(jnp.float32))
+
+        # Per-channel activation: tanh on NDVI (ch 0), identity on LST —
+        # only for 2-channel outputs (reference :286-291).
+        if self.out_channels == 2:
+            output = jnp.concatenate(
+                [jnp.tanh(output[..., 0:1]), output[..., 1:2]], axis=-1
+            )
+        return output

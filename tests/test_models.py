@@ -1,0 +1,102 @@
+"""Shape / dtype / grad sanity tests for the model family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maunet_tpu.models import MetaUNet, MetaUNetPP, UrbanPredictor
+
+
+def _inputs(rng, b=2, hw=64, t=48, meta=8):
+    return (
+        jnp.asarray(rng.normal(size=(b, hw, hw, 23)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, t)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, meta)), jnp.float32),
+        jnp.asarray(rng.integers(1, t, size=(b,)), jnp.int32),
+    )
+
+
+@pytest.mark.parametrize("model_type", ["unet", "unet++"])
+def test_forward_shapes(rng, model_type):
+    model = UrbanPredictor(model_type=model_type, base_filters=8,
+                           temporal_dim=4, meta_dim=4, lstm_dim=8,
+                           compute_dtype=jnp.float32)
+    maps, series, meta, lengths = _inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), maps, series, meta, lengths)
+    out = model.apply(params, maps, series, meta, lengths)
+    assert out.shape == (2, 64, 64, 2)
+    assert out.dtype == jnp.float32
+    # NDVI channel is tanh-bounded, LST unbounded (reference src/model.py:286-291)
+    assert np.all(np.abs(np.asarray(out[..., 0])) <= 1.0)
+
+
+def test_odd_tile_chain(rng):
+    """The reference's odd 250 → 125 → 62 → 31 → 15 chain must work with
+    static shapes (SURVEY.md §7 hard parts)."""
+    model = MetaUNet(base_filters=4, temporal_dim=4, meta_dim=4, lstm_dim=8,
+                     compute_dtype=jnp.float32)
+    maps, series, meta, lengths = _inputs(rng, b=1, hw=50)
+    params = model.init(jax.random.PRNGKey(0), maps, series, meta, lengths)
+    out = model.apply(params, maps, series, meta, lengths)
+    assert out.shape == (1, 50, 50, 2)
+
+
+def test_embedding_ablations(rng):
+    maps, series, meta, lengths = _inputs(rng)
+    for temporal, metadata in [(False, False), (True, False), (False, True)]:
+        model = MetaUNet(base_filters=4, temporal_dim=4, meta_dim=4, lstm_dim=8,
+                         temporal_embeddings=temporal,
+                         metadata_embeddings=metadata,
+                         compute_dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), maps, series, meta, lengths)
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        names = [jax.tree_util.keystr(k) for k, _ in flat]
+        assert any("temporal_encoder" in n for n in names) == temporal
+        assert any("meta_encoder" in n for n in names) == metadata
+        out = model.apply(params, maps, series, meta, lengths)
+        assert out.shape == (2, 64, 64, 2)
+
+
+def test_deep_supervision_heads(rng):
+    model = MetaUNetPP(base_filters=4, temporal_dim=4, meta_dim=4, lstm_dim=8,
+                       deep_supervision=True, compute_dtype=jnp.float32)
+    maps, series, meta, lengths = _inputs(rng, b=1, hw=32)
+    params = model.init(jax.random.PRNGKey(0), maps, series, meta, lengths)
+    outs = model.apply(params, maps, series, meta, lengths)
+    assert isinstance(outs, tuple) and len(outs) == 4
+    for o in outs:
+        assert o.shape == (1, 32, 32, 2)
+
+
+def test_batchnorm_train_mode_updates_stats(rng):
+    model = MetaUNet(base_filters=4, temporal_dim=4, meta_dim=4, lstm_dim=8,
+                     compute_dtype=jnp.float32)
+    maps, series, meta, lengths = _inputs(rng, b=2, hw=32)
+    variables = model.init(jax.random.PRNGKey(0), maps, series, meta, lengths)
+    out, updates = model.apply(
+        variables, maps, series, meta, lengths, train=True,
+        mutable=["batch_stats"],
+    )
+    assert out.shape == (2, 32, 32, 2)
+    old = variables["batch_stats"]["conv0_0"]["bn1"]["mean"]
+    new = updates["batch_stats"]["conv0_0"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_grads_flow(rng):
+    model = MetaUNet(base_filters=4, temporal_dim=4, meta_dim=4, lstm_dim=8,
+                     compute_dtype=jnp.float32)
+    maps, series, meta, lengths = _inputs(rng, b=1, hw=32)
+    variables = model.init(jax.random.PRNGKey(0), maps, series, meta, lengths)
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            maps, series, meta, lengths, train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    norms = [float(jnp.linalg.norm(g)) for g in jax.tree_util.tree_leaves(grads)]
+    assert all(np.isfinite(n) for n in norms)
+    assert sum(norms) > 0
