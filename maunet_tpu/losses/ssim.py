@@ -1,0 +1,87 @@
+"""Structural similarity (SSIM), pure JAX.
+
+Re-implements the Wang et al. 2004 SSIM with the defaults the reference gets
+from ``piq.ssim`` (reference src/utils/losses.py:88: data_range=1.0,
+reduction='none'; piq defaults kernel_size=11, kernel_sigma=1.5, k1=0.01,
+k2=0.03, downsample=True):
+
+- optional average-pool downsampling by f = max(1, round(min(H, W) / 256))
+  (the original MATLAB preprocessing piq replicates; f=1 for the reference's
+  250-pixel tiles, f=2 for 512 serving tiles),
+- 11×11 gaussian window, σ=1.5, VALID padding, applied per channel,
+- per-image score: SSIM map averaged over space and channels.
+
+TPU note: the windowed moments run as 5 shared depthwise convolutions —
+XLA maps these to efficient reductions; everything is f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
+    coords = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
+    g = np.exp(-(coords ** 2) / (2.0 * sigma ** 2))
+    g /= g.sum()
+    k = np.outer(g, g)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _depthwise_blur(x: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
+    """VALID-padded depthwise conv of NHWC x with a shared 2-D window."""
+    c = x.shape[-1]
+    k = jnp.broadcast_to(kernel2d[:, :, None, None], (*kernel2d.shape, 1, c))
+    return lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def _avg_pool(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """torch.nn.functional.avg_pool2d(kernel=f): floor semantics, VALID."""
+    return lax.reduce_window(
+        x, 0.0, lax.add, (1, f, f, 1), (1, f, f, 1), "VALID"
+    ) / float(f * f)
+
+
+def ssim(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+    kernel_sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+    downsample: bool = True,
+) -> jnp.ndarray:
+    """Per-image SSIM of NHWC tensors → (B,) f32 (piq reduction='none')."""
+    x = x.astype(jnp.float32) / data_range
+    y = y.astype(jnp.float32) / data_range
+
+    if downsample:
+        # Banker's rounding matches python round() used by piq/MATLAB port.
+        f = max(1, round(min(x.shape[1], x.shape[2]) / 256))
+        if f > 1:
+            x = _avg_pool(x, f)
+            y = _avg_pool(y, f)
+
+    kernel = jnp.asarray(_gaussian_kernel(kernel_size, kernel_sigma))
+    mu_x = _depthwise_blur(x, kernel)
+    mu_y = _depthwise_blur(y, kernel)
+    mu_xx, mu_yy, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
+    sigma_xx = _depthwise_blur(x * x, kernel) - mu_xx
+    sigma_yy = _depthwise_blur(y * y, kernel) - mu_yy
+    sigma_xy = _depthwise_blur(x * y, kernel) - mu_xy
+
+    c1 = k1 ** 2
+    c2 = k2 ** 2
+    cs = (2.0 * sigma_xy + c2) / (sigma_xx + sigma_yy + c2)
+    ss = (2.0 * mu_xy + c1) / (mu_xx + mu_yy + c1) * cs
+    return jnp.mean(ss, axis=(1, 2, 3))
