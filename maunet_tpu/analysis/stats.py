@@ -171,3 +171,41 @@ def comparative_analysis(csv_paths: list, model_names: list[str] | None = None,
         os.makedirs(output_dir, exist_ok=True)
         out.to_csv(os.path.join(output_dir, "comparative_ttests.csv"), index=False)
     return out
+
+
+def nonparametric_tests(csv_paths: list, model_names: list[str] | None = None,
+                        metric: str = "mae", alpha: float = 0.05) -> pd.DataFrame:
+    """Wilcoxon signed-rank + Mann-Whitney U + Pearson correlation between
+    model pairs on overall per-sample metrics — the research app's
+    statistical-comparison page (reference
+    app_dev/pages/3_Statistical_Comparison.py)."""
+    from scipy.stats import mannwhitneyu, pearsonr, wilcoxon
+
+    frames, names = [], []
+    for i, p in enumerate(csv_paths):
+        df = p if isinstance(p, pd.DataFrame) else pd.read_csv(p)
+        name = (model_names[i] if model_names else
+                os.path.basename(str(p)).replace("_evaluation.csv", ""))
+        overall = df[df["dw_class"] == "overall"]
+        frames.append(overall.set_index(["sample_idx", "channel"])[metric]
+                      .rename(name))
+        names.append(name)
+
+    results = []
+    for m1, m2 in combinations(names, 2):
+        joined = pd.concat([frames[names.index(m1)], frames[names.index(m2)]],
+                           axis=1).dropna()
+        if len(joined) < 3:
+            continue
+        a, b = joined[m1].values, joined[m2].values
+        row = {"model_1": m1, "model_2": m2, "metric": metric, "n": len(a)}
+        try:
+            _, row["wilcoxon_p"] = wilcoxon(a, b)
+        except ValueError:
+            row["wilcoxon_p"] = float("nan")
+        _, row["mannwhitney_p"] = mannwhitneyu(a, b)
+        row["pearson_r"], row["pearson_p"] = pearsonr(a, b)
+        row["significant"] = bool(row["wilcoxon_p"] < alpha) \
+            if pd.notna(row["wilcoxon_p"]) else False
+        results.append(row)
+    return pd.DataFrame(results)

@@ -111,6 +111,34 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_process(args) -> int:
+    cfg = _load_cfg(args)
+    from maunet_tpu.data.processing import process_future_data
+
+    process_future_data(cfg, image_dir=args.image_dir,
+                        output_dir=args.output_dir,
+                        cities_csv=args.cities_csv)
+    return 0
+
+
+def cmd_acquire(args) -> int:
+    cfg = _load_cfg(args)
+    from maunet_tpu.data.acquisition import run_acquisition
+
+    run_acquisition(cfg, raw_cities_csv=args.cities_csv,
+                    n_workers=args.workers)
+    return 0
+
+
+def cmd_process_temperature(args) -> int:
+    cfg = _load_cfg(args)
+    from maunet_tpu.data.temperature import process_temperature
+
+    process_temperature(args.raw_dir or cfg.paths.raw_temperature_dir,
+                        args.out_dir or cfg.paths.processed_temperature_dir)
+    return 0
+
+
 def cmd_sensitivity(args) -> int:
     cfg = _load_cfg(args)
     from maunet_tpu.analysis.sensitivity import run_sensitivity
@@ -205,6 +233,25 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("bench", help="run the benchmark")
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("process", help="raw tiles → processed .npz dataset")
+    common(sp)
+    sp.add_argument("--image-dir", default=None)
+    sp.add_argument("--output-dir", default=None)
+    sp.add_argument("--cities-csv", default=None)
+    sp.set_defaults(fn=cmd_process)
+
+    sp = sub.add_parser("acquire", help="GEE batch download (needs ee/geemap)")
+    common(sp)
+    sp.add_argument("--cities-csv", default=None)
+    sp.add_argument("--workers", type=int, default=8)
+    sp.set_defaults(fn=cmd_acquire)
+
+    sp = sub.add_parser("process-temperature", help="CRU z-scoring → cube")
+    common(sp)
+    sp.add_argument("--raw-dir", default=None)
+    sp.add_argument("--out-dir", default=None)
+    sp.set_defaults(fn=cmd_process_temperature)
 
     sp = sub.add_parser("sensitivity", help="metadata sensitivity sweep")
     common(sp)

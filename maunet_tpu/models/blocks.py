@@ -26,6 +26,9 @@ class VGGBlock(nn.Module):
     middle_channels: int
     out_channels: int
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # Inference mode with BatchNorm pre-folded into the conv weights
+    # (models/fuse.py): conv → ReLU only, single fused MXU kernel per conv.
+    bn_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -35,6 +38,11 @@ class VGGBlock(nn.Module):
             dtype=self.compute_dtype,
             param_dtype=jnp.float32,
         )
+        if self.bn_fused:
+            assert not train, "bn_fused is an inference-only mode"
+            x = nn.relu(nn.Conv(self.middle_channels, name="conv1", **conv_kw)(x))
+            x = nn.relu(nn.Conv(self.out_channels, name="conv2", **conv_kw)(x))
+            return x
         # BatchNorm: torch defaults are momentum=0.1 (i.e. flax momentum=0.9)
         # and eps=1e-5; stats and normalization in f32.
         bn_kw = dict(

@@ -32,6 +32,7 @@ def UrbanPredictor(
     metadata_embeddings: bool = True,
     lstm_mask_mode: str = "per_sample",
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    bn_fused: bool = False,
 ) -> nn.Module:
     """Facade dispatch (reference src/model.py:295-326).
 
@@ -50,6 +51,7 @@ def UrbanPredictor(
             metadata_embeddings=metadata_embeddings,
             lstm_mask_mode=lstm_mask_mode,
             compute_dtype=compute_dtype,
+            bn_fused=bn_fused,
         )
     if model_type == "unet++":
         return MetaUNetPP(
@@ -63,13 +65,15 @@ def UrbanPredictor(
             metadata_embeddings=metadata_embeddings,
             lstm_mask_mode=lstm_mask_mode,
             compute_dtype=compute_dtype,
+            bn_fused=bn_fused,
         )
     raise ValueError(f"Unsupported model_type: {model_type!r} (expected one of {MODEL_TYPES})")
 
 
 def build_model(hyperparams: dict[str, Any], *, out_channels: int = 2,
                 lstm_mask_mode: str = "per_sample",
-                compute_dtype: jnp.dtype = jnp.bfloat16) -> nn.Module:
+                compute_dtype: jnp.dtype = jnp.bfloat16,
+                bn_fused: bool = False) -> nn.Module:
     """Build a model from a checkpoint hyperparameter dict.
 
     Defaults follow the reference evaluator (temporal_dim=16, meta_dim=8,
@@ -88,4 +92,5 @@ def build_model(hyperparams: dict[str, Any], *, out_channels: int = 2,
         metadata_embeddings=bool(hyperparams.get("metadata_embeddings", True)),
         lstm_mask_mode=lstm_mask_mode,
         compute_dtype=compute_dtype,
+        bn_fused=bn_fused,
     )

@@ -32,6 +32,7 @@ class MetaUNet(nn.Module):
     metadata_embeddings: bool = True
     lstm_mask_mode: str = "per_sample"
     compute_dtype: jnp.dtype = jnp.bfloat16
+    bn_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -44,7 +45,8 @@ class MetaUNet(nn.Module):
     ) -> jnp.ndarray:
         nb = [self.base_filters * (2 ** i) for i in range(5)]
         cd = self.compute_dtype
-        vgg = lambda name, mid, out: VGGBlock(mid, out, compute_dtype=cd, name=name)
+        vgg = lambda name, mid, out: VGGBlock(mid, out, compute_dtype=cd,
+                                              bn_fused=self.bn_fused, name=name)
 
         maps = maps.astype(cd)
 

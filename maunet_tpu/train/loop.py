@@ -16,6 +16,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable
 
 import jax
+import numpy as np
 
 from maunet_tpu.config import Config
 from maunet_tpu.data.dataset import NpzDataset, make_batches
@@ -115,6 +116,7 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.loss_fn, self.optimizer, self.metadata_features)
         self.eval_step = make_eval_step(self.model, self.metadata_features)
+        self._plot_step = None  # built lazily on first plot step
 
         self.train_ds = NpzDataset(
             os.path.join(self.data_dir, "train"),
@@ -147,6 +149,31 @@ class Trainer:
             yield from batches
 
         return prefetch_to_device(chain(), buffer_size=2, sharding=sharding)
+
+    def _plot_train_step(self, state, batch):
+        if self._plot_step is None:
+            from maunet_tpu.train.steps import make_train_step_with_outputs
+
+            self._plot_step = make_train_step_with_outputs(
+                self.model, self.loss_fn, self.optimizer, self.metadata_features)
+        return self._plot_step(state, batch)
+
+    def _render_plot(self, batch, outputs, metrics, epoch, step):
+        try:
+            from maunet_tpu.data.schema import NormalizationStats
+            from maunet_tpu.train.visualize import plot_predictions_vs_targets
+
+            stats_path = os.path.join(self.data_dir, "normalization_metrics.json")
+            stats = (NormalizationStats.from_json(stats_path)
+                     if os.path.exists(stats_path) else None)
+            plot_predictions_vs_targets(
+                jax.device_get(batch), np.asarray(outputs),
+                os.path.join(self.work_dir, "visualizations"),
+                self.study_name, self.trial_id, step,
+                float(metrics["total"]), stats,
+                channels=tuple(self.cfg.dataset.target_channels))
+        except Exception as e:  # plotting must never kill training
+            log.warning(f"Prediction plot failed at step {step}: {e}")
 
     def validate(self, state) -> dict[str, float]:
         """Masked validation over the val split (reference src/train.py:20-60)."""
@@ -199,7 +226,12 @@ class Trainer:
             for batch in self._device_batches(self.train_ds, True, epoch,
                                               drop_last=True):
                 bsz = batch["maps"].shape[0]
-                state, metrics = self.train_step(state, batch)
+                if (cfg.logging.frequency_plt
+                        and step % cfg.logging.frequency_plt == 0):
+                    state, metrics, outputs = self._plot_train_step(state, batch)
+                    self._render_plot(batch, outputs, metrics, epoch, step)
+                else:
+                    state, metrics = self.train_step(state, batch)
                 step_losses.append((metrics["total"], bsz))
                 if step % cfg.logging.frequency_log == 0:
                     metrics = jax.device_get(metrics)

@@ -71,6 +71,39 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_train_step_with_outputs(model, loss_fn, optimizer,
+                                 metadata_features: int = 8):
+    """Train step that additionally returns the batch predictions — used on
+    plot steps (reference plots the live training outputs,
+    src/train.py:279-280).  Compiled separately so the hot-path step never
+    materializes outputs."""
+
+    def step(state: TrainState, batch: dict[str, Any]):
+        meta = _metadata_full(batch, metadata_features)
+
+        def objective(params):
+            outputs, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["maps"], batch["temp_series"], meta, batch["temp_lengths"],
+                train=True, mutable=["batch_stats"],
+            )
+            losses = loss_fn(outputs, batch["targets"])
+            return losses["total"], (losses, updates["batch_stats"], outputs)
+
+        (_, (losses, new_stats, outputs)), grads = jax.value_and_grad(
+            objective, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_state = TrainState(
+            params=optax.apply_updates(state.params, updates),
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, dict(losses), outputs
+
+    return jax.jit(step)
+
+
 def make_eval_step(
     model,
     metadata_features: int = 8,
