@@ -17,6 +17,8 @@ Numerical parity notes:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -55,13 +57,33 @@ def unnormalize_targets(arr: jnp.ndarray, stats: NormalizationStats | None) -> j
     return jnp.concatenate([arr[..., 0:1], lst], axis=-1)
 
 
-@jax.jit
-def eval_metrics(pred: jnp.ndarray, target: jnp.ndarray, dw_map: jnp.ndarray):
+def _class_sums_xla(abs_err, sq_err, dw_map):
+    """XLA fallback: one-hot einsum (materializes (B, H, W, 9))."""
+    onehot = jax.nn.one_hot(dw_map, NUM_CLASSES, dtype=jnp.float32)
+    counts = jnp.einsum("bhwk->bk", onehot)
+    sum_abs = jnp.einsum("bhwc,bhwk->bck", abs_err, onehot)
+    sum_sq = jnp.einsum("bhwc,bhwk->bck", sq_err, onehot)
+    return sum_abs, sum_sq, counts
+
+
+def _use_pallas(backend: str) -> bool:
+    if backend == "pallas":
+        return True
+    if backend == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def eval_metrics(pred: jnp.ndarray, target: jnp.ndarray, dw_map: jnp.ndarray,
+                 backend: str = "auto"):
     """All reference evaluation metrics for one batch, fully on device.
 
     Args:
         pred, target: (B, H, W, C) un-normalized.
         dw_map: (B, H, W) int class map.
+        backend: 'auto' (Pallas masked-reduction kernel on TPU, einsum
+            elsewhere), 'pallas', or 'xla'.
 
     Returns dict of arrays:
         mae, rmse, lap_var_pred, lap_var_gt: (B, C)
@@ -79,10 +101,12 @@ def eval_metrics(pred: jnp.ndarray, target: jnp.ndarray, dw_map: jnp.ndarray):
     lap_pred = laplacian_variance(jnp.moveaxis(pred.astype(jnp.float32), -1, 1))
     lap_gt = laplacian_variance(jnp.moveaxis(target.astype(jnp.float32), -1, 1))
 
-    onehot = jax.nn.one_hot(dw_map, NUM_CLASSES, dtype=jnp.float32)  # (B,H,W,9)
-    counts = jnp.einsum("bhwk->bk", onehot)                          # (B,9)
-    sum_abs = jnp.einsum("bhwc,bhwk->bck", abs_err, onehot)
-    sum_sq = jnp.einsum("bhwc,bhwk->bck", sq_err, onehot)
+    if _use_pallas(backend):
+        from maunet_tpu.ops.pallas.masked_stats import masked_class_sums
+
+        sum_abs, sum_sq, counts = masked_class_sums(pred, target, dw_map)
+    else:
+        sum_abs, sum_sq, counts = _class_sums_xla(abs_err, sq_err, dw_map)
     safe = jnp.maximum(counts, 1.0)[:, None, :]
     class_mae = jnp.where(counts[:, None, :] > 0, sum_abs / safe, jnp.nan)
     class_rmse = jnp.where(counts[:, None, :] > 0, jnp.sqrt(sum_sq / safe), jnp.nan)

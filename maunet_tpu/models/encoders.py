@@ -40,6 +40,18 @@ class TemporalEncoder(nn.Module):
     out_dim: int
     mask_mode: str = "per_sample"
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # 'auto': Pallas full-sequence kernel on TPU (ops/pallas/lstm.py — weights
+    # and state stay in VMEM for all 828 steps), lax.scan elsewhere.
+    backend: str = "auto"
+
+    def _use_pallas(self) -> bool:
+        if self.backend == "pallas":
+            return True
+        if self.backend == "scan":
+            return False
+        import jax
+
+        return jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, series: jnp.ndarray, lengths: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -51,8 +63,25 @@ class TemporalEncoder(nn.Module):
         b_ih = self.param("b_ih", _uniform_init(scale), (4 * hd,))
         b_hh = self.param("b_hh", _uniform_init(scale), (4 * hd,))
 
-        # Hoist the input projection out of the scan: (B, T, 4H) in one shot.
+        # Hoist the input projection out of the recurrence: one (B, T, 4H)
+        # matmul feeds either backend.
         x_proj = series[..., None] * w_ih[0][None, None, :] + (b_ih + b_hh)
+
+        if self._use_pallas():
+            from maunet_tpu.ops.pallas.lstm import lstm_last_hidden
+
+            if lengths is None or self.mask_mode == "none":
+                eff_lengths = jnp.full((b,), t, jnp.int32)
+            elif self.mask_mode == "batch_max":
+                eff_lengths = jnp.broadcast_to(jnp.max(lengths), (b,)).astype(jnp.int32)
+            elif self.mask_mode == "per_sample":
+                eff_lengths = lengths.astype(jnp.int32)
+            else:
+                raise ValueError(f"unknown mask_mode: {self.mask_mode}")
+            h_final = lstm_last_hidden(x_proj, w_hh, eff_lengths)
+            out = nn.Dense(self.out_dim, name="fc",
+                           dtype=jnp.float32, param_dtype=jnp.float32)(h_final)
+            return out.astype(self.compute_dtype)
 
         if lengths is None or self.mask_mode == "none":
             step_active = jnp.full((t, b), True)

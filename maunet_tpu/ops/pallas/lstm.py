@@ -1,0 +1,111 @@
+"""Pallas TPU kernel: full-sequence LSTM, returning the last hidden state.
+
+The CRU temporal encoder runs an LSTM over 828 months
+(models/encoders.TemporalEncoder).  A ``lax.scan`` lowering launches 828
+tiny sequential ops; this kernel instead keeps the recurrent weights and the
+(h, c) state resident in VMEM for the whole sequence and pipelines the
+pre-projected inputs through VMEM in CHUNK-step blocks (the TPU grid is
+sequential, so scratch carries state across grid steps and Pallas
+double-buffers the block DMAs automatically).
+
+Per step: one (B, H)·(H, 4H) MXU matmul + VPU gate math, torch gate order
+(i, f, g, o).  Length masking is per-sample: state freezes at t ≥ length
+(callers emulate ``batch_max``/``none`` modes by passing adjusted lengths).
+
+Matches the lax.scan reference implementation to float tolerance
+(tests/test_pallas.py); the scan path remains as the non-TPU fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 128
+
+
+def _kernel(lengths_ref, xproj_ref, whh_ref, out_ref, h_ref, c_ref):
+    """Grid step = one CHUNK of timesteps.
+
+    lengths_ref: (B, 1) i32 in VMEM
+    xproj_ref:   (B, CHUNK, 4H) f32 — x@W_ih + b_ih + b_hh, this chunk
+    whh_ref:     (H, 4H) f32
+    out_ref:     (B, H) f32
+    h_ref/c_ref: (B, H) f32 VMEM scratch, persistent across grid steps
+    """
+    step = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    hidden = h_ref.shape[1]
+    lengths = lengths_ref[:]  # (B, 1)
+
+    def body(i, carry):
+        h, c = carry
+        t = step * CHUNK + i
+        gates = xproj_ref[:, i, :] + jnp.dot(
+            h, whh_ref[:], preferred_element_type=jnp.float32)
+        i_g = jax.nn.sigmoid(gates[:, :hidden])
+        f_g = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g_g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o_g = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c_new = f_g * c + i_g * g_g
+        h_new = o_g * jnp.tanh(c_new)
+        active = t < lengths  # (B, 1), broadcasts over H
+        return jnp.where(active, h_new, h), jnp.where(active, c_new, c)
+
+    # Mosaic supports only unroll=1 or full unroll; full unroll removes the
+    # loop-carried register spills and halves B=1 latency vs lax.scan.
+    h, c = jax.lax.fori_loop(0, CHUNK, body, (h_ref[:], c_ref[:]),
+                             unroll=CHUNK)
+    h_ref[:] = h
+    c_ref[:] = c
+
+    @pl.when(step == num_steps - 1)
+    def _():
+        out_ref[:] = h_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def lstm_last_hidden(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+                     lengths: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """(B, T, 4H) pre-projected inputs → (B, H) last hidden state.
+
+    ``x_proj`` must already include x·W_ih + b_ih + b_hh.  ``lengths`` are
+    per-sample true sequence lengths (state freezes beyond them).
+    """
+    b, t, four_h = x_proj.shape
+    hidden = four_h // 4
+    num_chunks = pl.cdiv(t, CHUNK)
+
+    grid_spec = pl.GridSpec(
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, CHUNK, four_h), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, four_h), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, hidden), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((b, hidden), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32).reshape(b, 1), x_proj.astype(jnp.float32),
+      w_hh.astype(jnp.float32))
