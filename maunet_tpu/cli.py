@@ -67,7 +67,8 @@ def cmd_train(args) -> int:
             if trial.should_prune():
                 raise TrialPruned()
 
-        result = trainer.train(epochs=args.epochs, epoch_callback=on_epoch)
+        result = trainer.train(epochs=args.epochs, epoch_callback=on_epoch,
+                               resume=args.resume)
         return result.best_val_loss
 
     study.optimize(objective, n_trials=args.n_trials)
@@ -183,6 +184,10 @@ def cmd_eda(args) -> int:
         eda.visualize_sample(args.npz_path, out_path=args.out)
     elif args.eda_command == "analyze-csv":
         eda.analyze_csv(args.csv_path)
+    elif args.eda_command == "visualize-tiles":
+        from maunet_tpu.analysis.tile_viz import visualize_raw_tiles
+
+        visualize_raw_tiles(args.image_dir, out_path=args.out)
     return 0
 
 
@@ -208,6 +213,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--epochs", type=int, default=None)
     sp.add_argument("--data-dir", default=None)
     sp.add_argument("--work-dir", default="reports/training")
+    sp.add_argument("--resume", action="store_true",
+                    help="resume each trial from its last full-state checkpoint")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("evaluate", help="evaluate a checkpoint on the test split")
@@ -288,6 +295,9 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--out", default=None)
     e = esub.add_parser("analyze-csv")
     e.add_argument("csv_path")
+    e = esub.add_parser("visualize-tiles")
+    e.add_argument("image_dir")
+    e.add_argument("--out", default=None)
     sp.set_defaults(fn=cmd_eda)
 
     return p

@@ -188,11 +188,21 @@ class Trainer:
             return {"total": float("inf")}
         return {k: v / n for k, v in sums.items()}
 
+    @property
+    def _last_checkpoint_path(self) -> str:
+        return os.path.join(self.work_dir,
+                            f"{self.study_name}_trial_{self.trial_id}_last")
+
     def train(
         self,
         epochs: int | None = None,
         epoch_callback: Callable[[int, float], None] | None = None,
+        resume: bool = False,
     ) -> TrainResult:
+        """Run the training loop.  With ``resume=True``, restore the full
+        state (params + BN stats + optimizer + step) from the trial's last
+        checkpoint and continue — exact resume, which the reference cannot do
+        (best-val-only model_state_dict, SURVEY.md §5)."""
         cfg = self.cfg
         t = cfg.training
         epochs = epochs if epochs is not None else t.epochs
@@ -201,6 +211,18 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         state = create_train_state(self.model, self.optimizer, rng,
                                    example.as_dict(), self.metadata_features)
+
+        start_epoch = 0
+        best_val = float("inf")
+        if resume and os.path.exists(self._last_checkpoint_path):
+            from maunet_tpu.train.checkpoint import restore_checkpoint
+
+            state, meta = restore_checkpoint(self._last_checkpoint_path, state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            best_val = float(meta.get("best_val_loss", float("inf")))
+            log.info(f"Resumed from epoch {start_epoch} "
+                     f"(step {int(state.step)}, best_val {best_val:.4f}).")
+
         if self.mesh is not None:
             state = jax.device_put(state, replicated(self.mesh))
         log.info(f"Model: {t.model_type}, params={param_count(state):,}, "
@@ -210,13 +232,12 @@ class Trainer:
         sma = RunningLoss("sma", window_size=50)
         cum = RunningLoss("cumulative")
 
-        best_val = float("inf")
         best_path = None
         history = []
-        step = 0
+        step = int(state.step)
         epochs_run = 0
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             epochs_run = epoch + 1
             ema.reset(); sma.reset(); cum.reset()
             epoch_loss, n_samples = 0.0, 0
@@ -281,6 +302,18 @@ class Trainer:
                     "metadata_input_length": cfg.dataset.nb_metadata_features,
                 })
                 log.info(f"New best checkpoint (val={best_val:.4f}) → {best_path}")
+
+            # always-current resume point (full state incl. optimizer)
+            save_checkpoint(self._last_checkpoint_path, state, {
+                "epoch": epoch,
+                "step": step,
+                "best_val_loss": best_val,
+                "hyperparameters": hyperparams_from_config(cfg),
+                "model_type": t.model_type,
+                "study_name": self.study_name,
+                "trial_id": self.trial_id,
+                "metadata_input_length": cfg.dataset.nb_metadata_features,
+            })
 
             if epoch_callback is not None:
                 epoch_callback(epoch, val_loss)  # may raise TrialPruned

@@ -167,6 +167,26 @@ def test_process_future_data_end_to_end(raw_env):
     assert len(os.listdir(os.path.join(out_dir, "train"))) == n_before
 
 
+def test_visualize_raw_tiles(raw_env, tmp_path):
+    from maunet_tpu.analysis.tile_viz import visualize_raw_tiles
+
+    _, image_dir, _, _ = raw_env
+    out = visualize_raw_tiles(image_dir, out_path=str(tmp_path / "grid.png"),
+                              edge=HW)
+    assert os.path.exists(out)
+
+
+def test_multihost_helpers():
+    from maunet_tpu.parallel.multihost import (
+        host_local_batch_slice,
+        initialize_multihost,
+    )
+
+    initialize_multihost()  # single-process no-op
+    s = host_local_batch_slice(16)
+    assert s == slice(0, 16)  # single process owns the whole batch
+
+
 def test_filter_subset_drops_unchanged(raw_env, rng, tmp_path):
     _, image_dir, _, cities_csv = raw_env
     # build an unchanged pair: identical tiles at two timestamps

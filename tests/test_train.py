@@ -60,6 +60,21 @@ def test_trainer_end_to_end(synthetic_root, tmp_path):
     assert out.shape == (4, 32, 32, 2)
 
 
+def test_trainer_resume(synthetic_root, tmp_path):
+    """Exact resume: epochs 0-1, then resume for epoch 2; the step counter
+    and best-val carry over."""
+    cfg = _tiny_cfg()
+    t1 = Trainer(cfg, data_dir=synthetic_root, work_dir=str(tmp_path),
+                 study_name="res", use_mesh=False)
+    r1 = t1.train(epochs=2)
+    t2 = Trainer(cfg, data_dir=synthetic_root, work_dir=str(tmp_path),
+                 study_name="res", use_mesh=False)
+    r2 = t2.train(epochs=3, resume=True)
+    assert r2.epochs_run == 3  # ran only epoch index 2
+    assert len(r2.history) == 1
+    assert r2.best_val_loss <= r1.best_val_loss + 1e-9
+
+
 def test_loss_decreases_on_fixed_batch(synthetic_root):
     cfg = _tiny_cfg()
     model = UrbanPredictor("unet", base_filters=4, temporal_dim=4, meta_dim=4,
