@@ -37,7 +37,6 @@ def _find_eval_csvs(reports_dir: str) -> dict[str, str]:
 def page_model_browser(st, args):
     st.header("Model browser")
     from maunet_tpu.evaluate.evaluator import load_any_checkpoint
-    from maunet_tpu.train.state import param_count
 
     path = st.text_input("Checkpoint path (.pth or orbax dir)")
     if not path:

@@ -18,6 +18,13 @@ import jax  # noqa: E402
 # via jax.config (overriding the env var); force CPU back for tests.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles many small model graphs;
+# warm runs skip recompilation entirely.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
