@@ -17,6 +17,7 @@ test/statistical_tests.py:171, …):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from maunet_tpu.config import Config, load_config
@@ -55,26 +56,46 @@ def cmd_train(args) -> int:
 
     from maunet_tpu.train.hpo import TrialPruned, create_study
     from maunet_tpu.train.loop import Trainer
+    from maunet_tpu.utils.tracking import WandbTracker, make_emb_tag
 
-    study = create_study(study_name, storage_dir=f"{args.work_dir}_hpo")
+    seeds = args.seeds or [cfg.seed]
+    for seed in seeds:
+        seed_cfg = cfg.with_overrides(seed=int(seed))
+        seed_study = study_name if len(seeds) == 1 else f"{study_name}-seed{seed}"
+        study = create_study(seed_study, storage_dir=f"{args.work_dir}_hpo")
 
-    def objective(trial):
-        trainer = Trainer(cfg, data_dir=args.data_dir, work_dir=args.work_dir,
-                          study_name=study_name, trial_id=trial.number)
+        def objective(trial, seed_cfg=seed_cfg, seed_study=seed_study):
+            trackers = []
+            if args.wandb:
+                trackers.append(WandbTracker(
+                    project=os.getenv("WANDB_PROJECT"),
+                    group=seed_study,
+                    name=f"trial-{trial.number}-{make_emb_tag(args.temporal_embeddings, args.metadata_embeddings)}",
+                    config=seed_cfg.to_dict(),
+                    tags=[seed_study, args.model_type,
+                          f"loss_{seed_cfg.training.loss}"]))
+            trainer = Trainer(seed_cfg, data_dir=args.data_dir,
+                              work_dir=args.work_dir, study_name=seed_study,
+                              trial_id=trial.number, trackers=trackers)
 
-        def on_epoch(epoch, val_loss):
-            trial.report(val_loss, epoch)
-            if trial.should_prune():
-                raise TrialPruned()
+            def on_epoch(epoch, val_loss):
+                trial.report(val_loss, epoch)
+                if trial.should_prune():
+                    raise TrialPruned()
 
-        result = trainer.train(epochs=args.epochs, epoch_callback=on_epoch,
-                               resume=args.resume)
-        return result.best_val_loss
+            try:
+                result = trainer.train(epochs=args.epochs,
+                                       epoch_callback=on_epoch,
+                                       resume=args.resume)
+            finally:
+                for tr in trackers:
+                    tr.finish()
+            return result.best_val_loss
 
-    study.optimize(objective, n_trials=args.n_trials)
-    best = study.best_trial
-    log.info(f"Study finished. Best trial: {best.number} "
-             f"(min val_loss {best.value:.4f})")
+        study.optimize(objective, n_trials=args.n_trials)
+        best = study.best_trial
+        log.info(f"Study {seed_study} finished. Best trial: {best.number} "
+                 f"(min val_loss {best.value:.4f})")
     return 0
 
 
@@ -109,6 +130,24 @@ def cmd_bench(args) -> int:
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
     bench.main()
+    return 0
+
+
+def cmd_pack(args) -> int:
+    cfg = _load_cfg(args)
+    from maunet_tpu.data.shards import pack_dataset
+
+    for split in args.splits:
+        src = f"{args.data_dir}/{split}"
+        out = f"{args.out_dir or args.data_dir + '_packed'}/{split}"
+        pack_dataset(src, out, shard_size=args.shard_size,
+                     temporal_length=cfg.dataset.temporal_length)
+    import shutil
+
+    stats = f"{args.data_dir}/normalization_metrics.json"
+    if os.path.exists(stats):
+        shutil.copy(stats, f"{args.out_dir or args.data_dir + '_packed'}/"
+                           "normalization_metrics.json")
     return 0
 
 
@@ -215,6 +254,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--work-dir", default="reports/training")
     sp.add_argument("--resume", action="store_true",
                     help="resume each trial from its last full-state checkpoint")
+    sp.add_argument("--seeds", nargs="+", type=int, default=None,
+                    help="cross-validation seeds (one study per seed; "
+                         "reference conf seeds_cv)")
+    sp.add_argument("--wandb", action="store_true",
+                    help="log to Weights & Biases if installed")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("evaluate", help="evaluate a checkpoint on the test split")
@@ -240,6 +284,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("bench", help="run the benchmark")
     sp.set_defaults(fn=cmd_bench)
+
+    sp = sub.add_parser("pack", help="pack per-sample .npz splits into shards")
+    common(sp)
+    sp.add_argument("data_dir")
+    sp.add_argument("--out-dir", default=None)
+    sp.add_argument("--splits", nargs="+", default=["train", "val", "test"])
+    sp.add_argument("--shard-size", type=int, default=64)
+    sp.set_defaults(fn=cmd_pack)
 
     sp = sub.add_parser("process", help="raw tiles → processed .npz dataset")
     common(sp)

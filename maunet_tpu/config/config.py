@@ -115,6 +115,9 @@ class TrainingConfig:
     deep_supervision: bool = False
     # TPU compute policy: bf16 matmul/conv compute with f32 params & reductions.
     compute_dtype: str = "bfloat16"
+    # jax.checkpoint each VGGBlock (recompute in backward): trades FLOPs for
+    # activation memory — for big batches or 512px training tiles.
+    remat: bool = False
     # Keep an eval/checkpoint copy every epoch (the reference keeps best-val
     # only and cannot resume optimizer state, src/train.py:303-320).
     keep_last_checkpoints: int = 3

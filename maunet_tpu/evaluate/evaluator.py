@@ -83,11 +83,17 @@ def known_cities_from_train_dir(train_dir: str) -> set[str]:
                     "known/unknown cities unavailable.")
         return set()
     from maunet_tpu.data.schema import parse_sample_filename
+    from maunet_tpu.data.shards import INDEX_FILE
 
-    return {
-        parse_sample_filename(f)["city"]
-        for f in os.listdir(train_dir) if f.endswith(".npz")
-    }
+    index_path = os.path.join(train_dir, INDEX_FILE)
+    if os.path.exists(index_path):
+        import json
+
+        with open(index_path) as f:
+            names = json.load(f)["names"]
+    else:
+        names = [f for f in os.listdir(train_dir) if f.endswith(".npz")]
+    return {parse_sample_filename(f)["city"] for f in names}
 
 
 def evaluate_checkpoint(
@@ -121,7 +127,9 @@ def evaluate_checkpoint(
         log.warning("Normalization metrics not found. Using raw data.")
 
     train_cities = known_cities_from_train_dir(os.path.join(data_dir, "train"))
-    ds = NpzDataset(os.path.join(data_dir, "test"),
+    from maunet_tpu.data import open_split
+
+    ds = open_split(data_dir, "test",
                     temporal_length=cfg.dataset.temporal_length)
     forward = make_forward_fn(loaded.model, metadata_features)
 

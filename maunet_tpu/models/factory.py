@@ -33,6 +33,7 @@ def UrbanPredictor(
     lstm_mask_mode: str = "per_sample",
     compute_dtype: jnp.dtype = jnp.bfloat16,
     bn_fused: bool = False,
+    remat: bool = False,
 ) -> nn.Module:
     """Facade dispatch (reference src/model.py:295-326).
 
@@ -52,6 +53,7 @@ def UrbanPredictor(
             lstm_mask_mode=lstm_mask_mode,
             compute_dtype=compute_dtype,
             bn_fused=bn_fused,
+            remat=remat,
         )
     if model_type == "unet++":
         return MetaUNetPP(
@@ -66,6 +68,7 @@ def UrbanPredictor(
             lstm_mask_mode=lstm_mask_mode,
             compute_dtype=compute_dtype,
             bn_fused=bn_fused,
+            remat=remat,
         )
     raise ValueError(f"Unsupported model_type: {model_type!r} (expected one of {MODEL_TYPES})")
 

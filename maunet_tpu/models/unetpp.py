@@ -35,6 +35,10 @@ class MetaUNetPP(nn.Module):
     lstm_mask_mode: str = "per_sample"
     compute_dtype: jnp.dtype = jnp.bfloat16
     bn_fused: bool = False
+    # jax.checkpoint each VGGBlock: recompute activations in backward,
+    # trading ~30% step FLOPs for O(depth) less live activation memory
+    # (enables bigger batches / 512px training tiles).
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -47,8 +51,12 @@ class MetaUNetPP(nn.Module):
     ):
         nb = [self.base_filters * (2 ** i) for i in range(5)]
         cd = self.compute_dtype
-        vgg = lambda name, mid, out: VGGBlock(mid, out, compute_dtype=cd,
-                                              bn_fused=self.bn_fused, name=name)
+        # static_argnums: self=0, x=1, train=2 (train drives Python
+        # control flow inside the block)
+        block_cls = (nn.remat(VGGBlock, static_argnums=(2,))
+                     if self.remat else VGGBlock)
+        vgg = lambda name, mid, out: block_cls(mid, out, compute_dtype=cd,
+                                               bn_fused=self.bn_fused, name=name)
 
         maps = maps.astype(cd)
 

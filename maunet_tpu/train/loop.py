@@ -100,6 +100,7 @@ class Trainer:
             temporal_embeddings=t.temporal_embeddings,
             metadata_embeddings=t.metadata_embeddings,
             compute_dtype=compute_dtype,
+            remat=t.remat,
         )
         self.optimizer = make_optimizer(
             t.optimizer, t.learning_rate, t.weight_decay, t.momentum,
@@ -118,12 +119,14 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, self.metadata_features)
         self._plot_step = None  # built lazily on first plot step
 
-        self.train_ds = NpzDataset(
-            os.path.join(self.data_dir, "train"),
+        from maunet_tpu.data import open_split
+
+        self.train_ds = open_split(
+            self.data_dir, "train",
             temporal_length=cfg.dataset.temporal_length,
             transform=RandomFlip(cfg.seed))
-        self.val_ds = NpzDataset(
-            os.path.join(self.data_dir, "val"),
+        self.val_ds = open_split(
+            self.data_dir, "val",
             temporal_length=cfg.dataset.temporal_length)
 
         self.csv = CSVLogger(os.path.join(

@@ -84,6 +84,31 @@ def test_batchnorm_train_mode_updates_stats(rng):
     assert not np.allclose(np.asarray(old), np.asarray(new))
 
 
+def test_remat_matches_plain(rng):
+    """Rematerialized blocks must be numerically identical in forward and
+    backward; only memory behaviour differs."""
+    maps, series, meta, lengths = _inputs(rng, b=1, hw=32)
+    plain = MetaUNet(base_filters=4, temporal_dim=4, meta_dim=4, lstm_dim=8,
+                     compute_dtype=jnp.float32)
+    rematted = MetaUNet(base_filters=4, temporal_dim=4, meta_dim=4, lstm_dim=8,
+                        compute_dtype=jnp.float32, remat=True)
+    variables = plain.init(jax.random.PRNGKey(0), maps, series, meta, lengths)
+    o1 = plain.apply(variables, maps, series, meta, lengths)
+    o2 = rematted.apply(variables, maps, series, meta, lengths)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+    def loss(m, params):
+        return jnp.mean(m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            maps, series, meta, lengths) ** 2)
+
+    g1 = jax.grad(lambda p: loss(plain, p))(variables["params"])
+    g2 = jax.grad(lambda p: loss(rematted, p))(variables["params"])
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-6), g1, g2)
+
+
 def test_grads_flow(rng):
     model = MetaUNet(base_filters=4, temporal_dim=4, meta_dim=4, lstm_dim=8,
                      compute_dtype=jnp.float32)

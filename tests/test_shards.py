@@ -1,0 +1,90 @@
+"""Packed-shard dataset tests."""
+
+import time
+
+import numpy as np
+import pytest
+
+from maunet_tpu.data.dataset import NpzDataset, make_batches
+from maunet_tpu.data.shards import ShardedNpzDataset, pack_dataset
+from maunet_tpu.data.synthetic import generate_dataset
+
+
+@pytest.fixture(scope="module")
+def roots(tmp_path_factory):
+    src = tmp_path_factory.mktemp("synth_shard")
+    generate_dataset(str(src), {"train": 11, "val": 1, "test": 1},
+                     hw=32, temporal_len=64)
+    packed = tmp_path_factory.mktemp("packed")
+    pack_dataset(f"{src}/train", str(packed), shard_size=4, temporal_length=64)
+    return str(src), str(packed)
+
+
+def test_pack_and_equivalence(roots):
+    src, packed = roots
+    ds = NpzDataset(f"{src}/train", temporal_length=64)
+    sds = ShardedNpzDataset(packed)
+    assert len(sds) == len(ds) == 11
+    for i in (0, 3, 4, 10):  # shard boundaries and tail
+        a, b = ds[i], sds[i]
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{i}/{k}")
+        assert ds.get_metadata_from_idx(i) == sds.get_metadata_from_idx(i)
+
+
+def test_sharded_batching_and_truncation(roots):
+    _, packed = roots
+    sds = ShardedNpzDataset(packed, temporal_length=32)
+    batch = next(make_batches(sds, 4))
+    assert batch.temp_series.shape == (4, 32)
+    assert batch.temp_lengths.max() <= 32
+    with pytest.raises(ValueError):
+        ShardedNpzDataset(packed, temporal_length=128)
+
+
+def test_cli_pack_and_trainer_on_shards(roots, tmp_path):
+    """CLI pack → Trainer + evaluator consume the packed splits
+    transparently via open_split."""
+    src, _ = roots
+    from maunet_tpu.cli import main
+
+    out = str(tmp_path / "packed_ds")
+    rc = main(["pack", src, "--out-dir", out, "--shard-size", "4",
+               "-o", "dataset.temporal_length=64"])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(f"{out}/train/shard_00000.npz")
+    assert os.path.exists(f"{out}/normalization_metrics.json")
+
+    from maunet_tpu.config import Config
+    from maunet_tpu.train.loop import Trainer
+
+    cfg = Config().with_overrides(**{
+        "training.batch_size": 4, "training.base_filters": 4,
+        "training.temporal_dim": 4, "training.meta_dim": 4,
+        "training.lstm_hidden": 8, "training.compute_dtype": "float32",
+        "training.loss": "mse", "dataset.temporal_length": 64,
+    })
+    trainer = Trainer(cfg, data_dir=out, work_dir=str(tmp_path / "work"),
+                      study_name="packed", use_mesh=False)
+    result = trainer.train(epochs=1)
+    assert np.isfinite(result.best_val_loss)
+
+
+def test_sharded_faster_sequential_read(roots):
+    src, packed = roots
+    ds = NpzDataset(f"{src}/train", temporal_length=64)
+    sds = ShardedNpzDataset(packed)
+
+    t0 = time.time()
+    for _ in range(3):
+        for i in range(len(ds)):
+            ds[i]
+    t_files = time.time() - t0
+    t0 = time.time()
+    for _ in range(3):
+        for i in range(len(sds)):
+            sds[i]
+    t_shards = time.time() - t0
+    assert t_shards < t_files, (t_shards, t_files)
