@@ -157,6 +157,15 @@ def evaluate_checkpoint(
 
         if np.isnan(metrics["mae"][valid]).any():
             log.error(f"NaN values found in outputs near sample {sample_idx}")
+        # constant-output degeneracy probe (reference test/evaluate.py:196-199
+        # checks unique-value counts; zero Laplacian variance is the same
+        # signal without a device->host image copy)
+        degenerate = np.asarray(metrics["lap_var_pred"])[valid] == 0.0
+        if degenerate.any():
+            log.warning(
+                f"Outputs have a single unique value (zero Laplacian variance) "
+                f"for {int(degenerate.sum())} sample-channels near sample "
+                f"{sample_idx}")
 
         for i in range(valid.shape[0]):
             if not valid[i]:

@@ -67,50 +67,22 @@ class TemporalEncoder(nn.Module):
         # matmul feeds either backend.
         x_proj = series[..., None] * w_ih[0][None, None, :] + (b_ih + b_hh)
 
-        if self._use_pallas():
-            from maunet_tpu.ops.pallas.lstm import lstm_last_hidden
-
-            if lengths is None or self.mask_mode == "none":
-                eff_lengths = jnp.full((b,), t, jnp.int32)
-            elif self.mask_mode == "batch_max":
-                eff_lengths = jnp.broadcast_to(jnp.max(lengths), (b,)).astype(jnp.int32)
-            elif self.mask_mode == "per_sample":
-                eff_lengths = lengths.astype(jnp.int32)
-            else:
-                raise ValueError(f"unknown mask_mode: {self.mask_mode}")
-            h_final = lstm_last_hidden(x_proj, w_hh, eff_lengths)
-            out = nn.Dense(self.out_dim, name="fc",
-                           dtype=jnp.float32, param_dtype=jnp.float32)(h_final)
-            return out.astype(self.compute_dtype)
-
+        # All three masking modes reduce to per-sample effective lengths.
         if lengths is None or self.mask_mode == "none":
-            step_active = jnp.full((t, b), True)
+            eff_lengths = jnp.full((b,), t, jnp.int32)
         elif self.mask_mode == "batch_max":
-            step_active = (jnp.arange(t)[:, None] < jnp.max(lengths)[None, None])
-            step_active = jnp.broadcast_to(step_active, (t, b))
+            eff_lengths = jnp.broadcast_to(jnp.max(lengths), (b,)).astype(jnp.int32)
         elif self.mask_mode == "per_sample":
-            step_active = jnp.arange(t)[:, None] < lengths[None, :]
+            eff_lengths = lengths.astype(jnp.int32)
         else:
             raise ValueError(f"unknown mask_mode: {self.mask_mode}")
 
-        h0 = jnp.zeros((b, hd), jnp.float32)
-        c0 = jnp.zeros((b, hd), jnp.float32)
+        from maunet_tpu.ops.pallas.lstm import lstm_last_hidden, lstm_last_hidden_scan
 
-        def step(carry, inp):
-            h, c = carry
-            xp, active = inp
-            gates = xp + h @ w_hh
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-            m = active[:, None]
-            h = jnp.where(m, h_new, h)
-            c = jnp.where(m, c_new, c)
-            return (h, c), None
-
-        (h_final, _), _ = jax.lax.scan(
-            step, (h0, c0), (jnp.swapaxes(x_proj, 0, 1), step_active)
-        )
+        if self._use_pallas():
+            h_final = lstm_last_hidden(x_proj, w_hh, eff_lengths)
+        else:
+            h_final = lstm_last_hidden_scan(x_proj, w_hh, eff_lengths)
         out = nn.Dense(
             self.out_dim, name="fc",
             dtype=jnp.float32, param_dtype=jnp.float32,

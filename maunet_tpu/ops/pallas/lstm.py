@@ -74,14 +74,65 @@ def _kernel(lengths_ref, xproj_ref, whh_ref, out_ref, h_ref, c_ref):
         out_ref[:] = h_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def lstm_last_hidden_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+                          lengths: jnp.ndarray) -> jnp.ndarray:
+    """lax.scan reference implementation — the non-TPU fallback, the numerics
+    oracle for the kernel, and the backward pass of the custom VJP."""
+    b, t, four_h = x_proj.shape
+    hidden = four_h // 4
+    h = jnp.zeros((b, hidden), jnp.float32)
+    c = jnp.zeros((b, hidden), jnp.float32)
+    active = jnp.arange(t)[:, None] < lengths[None, :]
+
+    def step(carry, inp):
+        h, c = carry
+        xp, act = inp
+        gates = xp + h @ w_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        m = act[:, None]
+        return (jnp.where(m, h_new, h), jnp.where(m, c_new, c)), None
+
+    (h, _), _ = jax.lax.scan(
+        step, (h, c),
+        (jnp.swapaxes(x_proj.astype(jnp.float32), 0, 1), active))
+    return h
+
+
+@jax.custom_vjp
 def lstm_last_hidden(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
-                     lengths: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+                     lengths: jnp.ndarray) -> jnp.ndarray:
     """(B, T, 4H) pre-projected inputs → (B, H) last hidden state.
 
     ``x_proj`` must already include x·W_ih + b_ih + b_hh.  ``lengths`` are
     per-sample true sequence lengths (state freezes beyond them).
+
+    Forward runs the Pallas kernel; the backward pass (pallas_call has no
+    autodiff rule) differentiates the scan reference — a remat-style
+    recompute, only paid when training with the pallas backend.
     """
+    return _pallas_forward(x_proj, w_hh, lengths)
+
+
+def _vjp_fwd(x_proj, w_hh, lengths):
+    return _pallas_forward(x_proj, w_hh, lengths), (x_proj, w_hh, lengths)
+
+
+def _vjp_bwd(residuals, g):
+    x_proj, w_hh, lengths = residuals
+    _, vjp = jax.vjp(lambda x, w: lstm_last_hidden_scan(x, w, lengths),
+                     x_proj, w_hh)
+    dx, dw = vjp(g)
+    return dx, dw, None
+
+
+lstm_last_hidden.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_forward(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+                    lengths: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     b, t, four_h = x_proj.shape
     hidden = four_h // 4
     num_chunks = pl.cdiv(t, CHUNK)

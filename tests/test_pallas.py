@@ -6,28 +6,7 @@ import numpy as np
 import pytest
 
 from maunet_tpu.models.encoders import TemporalEncoder
-from maunet_tpu.ops.pallas.lstm import lstm_last_hidden
-
-
-def _scan_reference(x_proj, w_hh, lengths):
-    b, t, four_h = x_proj.shape
-    hd = four_h // 4
-    h = jnp.zeros((b, hd), jnp.float32)
-    c = jnp.zeros((b, hd), jnp.float32)
-    active = jnp.arange(t)[:, None] < lengths[None, :]
-
-    def step(carry, inp):
-        h, c = carry
-        xp, act = inp
-        gates = xp + h @ w_hh
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-        m = act[:, None]
-        return (jnp.where(m, h_new, h), jnp.where(m, c_new, c)), None
-
-    (h, _), _ = jax.lax.scan(step, (h, c), (jnp.swapaxes(x_proj, 0, 1), active))
-    return h
+from maunet_tpu.ops.pallas.lstm import _pallas_forward, lstm_last_hidden_scan
 
 
 @pytest.mark.parametrize("t,lengths", [
@@ -40,9 +19,36 @@ def test_lstm_kernel_matches_scan(rng, t, lengths):
     x_proj = jnp.asarray(rng.normal(size=(b, t, 4 * hd)), jnp.float32)
     w_hh = jnp.asarray(rng.normal(size=(hd, 4 * hd)) * 0.1, jnp.float32)
     lens = jnp.asarray(lengths, jnp.int32)
-    ours = lstm_last_hidden(x_proj, w_hh, lens, interpret=True)
-    ref = _scan_reference(x_proj, w_hh, lens)
+    ours = _pallas_forward(x_proj, w_hh, lens, interpret=True)
+    ref = lstm_last_hidden_scan(x_proj, w_hh, lens)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
+def test_lstm_custom_vjp_grads_match_scan(rng):
+    """Training through the pallas backend: the custom VJP must produce the
+    scan implementation's gradients."""
+    import maunet_tpu.ops.pallas.lstm as plstm
+
+    b, t, hd = 2, 150, 8
+    x_proj = jnp.asarray(rng.normal(size=(b, t, 4 * hd)), jnp.float32)
+    w_hh = jnp.asarray(rng.normal(size=(hd, 4 * hd)) * 0.1, jnp.float32)
+    lens = jnp.asarray([150, 90], jnp.int32)
+
+    orig = plstm._pallas_forward
+
+    def interpreted(x, w, l, interpret=False):
+        return orig(x, w, l, interpret=True)
+
+    plstm._pallas_forward = interpreted
+    try:
+        loss_pallas = lambda x, w: jnp.sum(plstm.lstm_last_hidden(x, w, lens) ** 2)
+        gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(x_proj, w_hh)
+    finally:
+        plstm._pallas_forward = orig
+    loss_scan = lambda x, w: jnp.sum(lstm_last_hidden_scan(x, w, lens) ** 2)
+    gx_s, gw_s = jax.grad(loss_scan, argnums=(0, 1))(x_proj, w_hh)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s), atol=1e-5)
 
 
 def test_masked_class_sums_matches_xla(rng):
@@ -70,17 +76,17 @@ def test_temporal_encoder_backends_agree(rng):
 
     import maunet_tpu.ops.pallas.lstm as plstm
 
-    orig = plstm.lstm_last_hidden
+    orig = plstm._pallas_forward
 
     def interpreted(x_proj, w_hh, lens, interpret=False):
         return orig(x_proj, w_hh, lens, interpret=True)
 
-    plstm.lstm_last_hidden = interpreted
+    plstm._pallas_forward = interpreted
     try:
         pallas_enc = TemporalEncoder(16, 8, backend="pallas",
                                      compute_dtype=jnp.float32)
         out_pallas = pallas_enc.apply(variables, series, lengths)
     finally:
-        plstm.lstm_last_hidden = orig
+        plstm._pallas_forward = orig
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_pallas),
                                atol=1e-5)

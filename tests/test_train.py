@@ -142,6 +142,31 @@ def test_data_parallel_matches_single_device(synthetic_root):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_spatial_sharding_matches_single_device(synthetic_root):
+    """Forward pass with the image H axis sharded over the 'spatial' mesh
+    axis must match unsharded numerics (XLA inserts conv halo exchanges and
+    gathers for the resize matmuls)."""
+    model = UrbanPredictor("unet", base_filters=4, temporal_dim=4, meta_dim=4,
+                           lstm_dim=8, compute_dtype=jnp.float32)
+    ds = NpzDataset(f"{synthetic_root}/train", temporal_length=64)
+    batch = next(make_batches(ds, 2)).as_dict()
+    opt = make_optimizer("sgd", 1e-2, momentum=0.0)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), batch)
+
+    fwd = jax.jit(lambda v, b: model.apply(
+        v, b["maps"], b["temp_series"],
+        jnp.concatenate([b["metadata"], b["t1_dates"], b["t2_dates"]], axis=1),
+        b["temp_lengths"]))
+    out_single = np.asarray(fwd(state.variables, jax.device_put(batch)))
+
+    mesh = make_mesh(data_parallel=2, spatial_parallel=4)
+    shardings = batch_shardings_for(mesh, batch, shard_spatial=True)
+    batch_sharded = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+    vars_repl = jax.device_put(state.variables, replicated(mesh))
+    out_sharded = np.asarray(fwd(vars_repl, batch_sharded))
+    np.testing.assert_allclose(out_single, out_sharded, atol=1e-5)
+
+
 def test_eval_step_masks_padding(synthetic_root):
     model = UrbanPredictor("unet", base_filters=4, temporal_dim=4, meta_dim=4,
                            lstm_dim=8, compute_dtype=jnp.float32)
