@@ -107,7 +107,7 @@ def cmd_evaluate(args) -> int:
         args.checkpoint_path, cfg, data_dir=args.data_dir,
         study_name=args.study_name, jobid=args.jobid,
         n_visualize=args.n_visualize, output_dir=args.output_dir,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size, precision=args.precision)
     return 0
 
 
@@ -270,6 +270,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-visualize", type=int, default=10)
     sp.add_argument("--batch-size", type=int, default=None)
     sp.add_argument("--output-dir", default="reports/tests")
+    sp.add_argument("--precision", default="bfloat16",
+                    choices=["bfloat16", "float32"],
+                    help="float32 for exact parity with reference numbers")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("synth-data", help="generate a synthetic dataset")

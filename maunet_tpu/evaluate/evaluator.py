@@ -24,7 +24,7 @@ import numpy as np
 import pandas as pd
 
 from maunet_tpu.config import Config
-from maunet_tpu.data.dataset import NpzDataset, make_batches
+from maunet_tpu.data.dataset import make_batches
 from maunet_tpu.data.pipeline import prefetch_to_device
 from maunet_tpu.data.schema import NormalizationStats
 from maunet_tpu.evaluate.metrics import (
@@ -106,12 +106,15 @@ def evaluate_checkpoint(
     output_dir: str = "reports/tests",
     batch_size: int | None = None,
     trackers: list | None = None,
+    precision: str = "bfloat16",
 ) -> pd.DataFrame:
     cfg = cfg or Config()
     data_dir = data_dir or cfg.paths.processed_image_dataset
     trackers = trackers or []
 
-    loaded = load_any_checkpoint(checkpoint_path, study_name)
+    compute_dtype = jnp.float32 if precision == "float32" else jnp.bfloat16
+    loaded = load_any_checkpoint(checkpoint_path, study_name,
+                                 compute_dtype=compute_dtype)
     hp = loaded.hyperparams
     metadata_features = int(hp.get("metadata_input_length",
                                    loaded.meta.get("metadata_input_length", 4)))

@@ -41,7 +41,12 @@ class Trial:
     def __init__(self, study: "Study", record: TrialRecord):
         self.study = study
         self.record = record
-        self._rng = random.Random(hash((study.study_name, record.number)) & 0xFFFFFFFF)
+        # Stable across processes (builtin str hashing is salted per run).
+        import hashlib
+
+        digest = hashlib.sha256(
+            f"{study.study_name}:{record.number}".encode()).digest()
+        self._rng = random.Random(int.from_bytes(digest[:8], "big"))
         self._enqueued = dict(record.params)
 
     @property

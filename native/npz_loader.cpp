@@ -258,6 +258,40 @@ long long npz_entry_info(void* handle, const char* name, char* dtype_out,
   return static_cast<long long>(npy.size() - off);
 }
 
+// Uncompressed member size (header + payload) from the central directory —
+// an upper bound for npz_read_full's buffer, available without inflating.
+long long npz_entry_usize(void* handle, const char* name) {
+  auto* z = static_cast<Npz*>(handle);
+  const Entry* e = find_entry(z, name);
+  if (!e) { set_error("entry not found"); return -1; }
+  return static_cast<long long>(e->uncomp_size);
+}
+
+// Single-pass decode: inflate the member ONCE, parse the npy header, copy
+// the payload into out (cap must be >= payload; use npz_entry_usize as an
+// upper bound).  Writes dtype/shape metadata.  Returns payload nbytes or -1.
+long long npz_read_full(void* handle, const char* name, char* dtype_out,
+                        long long* shape_out, int* ndim_out, void* out,
+                        long long cap) {
+  auto* z = static_cast<Npz*>(handle);
+  const Entry* e = find_entry(z, name);
+  if (!e) { set_error("entry not found"); return -1; }
+  std::vector<uint8_t> npy;
+  std::string err;
+  if (!extract_member(z->path, *e, npy, &err)) { set_error(err); return -1; }
+  std::string descr;
+  std::vector<int64_t> shape;
+  uint64_t off;
+  if (!parse_npy_header(npy, &descr, &shape, &off, &err)) { set_error(err); return -1; }
+  uint64_t payload = npy.size() - off;
+  if (static_cast<uint64_t>(cap) < payload) { set_error("buffer too small"); return -1; }
+  std::snprintf(dtype_out, 16, "%s", descr.c_str());
+  *ndim_out = static_cast<int>(shape.size());
+  for (size_t i = 0; i < shape.size() && i < 8; ++i) shape_out[i] = shape[i];
+  std::memcpy(out, npy.data() + off, payload);
+  return static_cast<long long>(payload);
+}
+
 // Decode entry payload into out (must hold payload bytes). Returns 0 on ok.
 int npz_read(void* handle, const char* name, void* out, long long out_nbytes) {
   auto* z = static_cast<Npz*>(handle);
