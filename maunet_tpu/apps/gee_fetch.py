@@ -69,6 +69,32 @@ def get_satellite_data(lat: float, lon: float, year: int, month: int,
     return layers
 
 
+def make_synthetic_cache(cache_dir: str, img_size: int = 512,
+                         seed: int = 0) -> dict[str, np.ndarray]:
+    """Write synthetic demo layers (the reference bundles real Rome tiles in
+    app/cache; we fabricate structurally-faithful ones so the planner runs
+    with zero network access)."""
+    from maunet_tpu.data.synthetic import _dw_map, _smooth_field
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(cache_dir, exist_ok=True)
+    dw = _dw_map(rng, img_size).astype(np.float32)
+    green = np.isin(dw, [1, 2, 3, 4, 5]).astype(np.float32)
+    layers = {
+        "dw": dw,
+        "rgb": np.clip(np.stack([_smooth_field(rng, img_size) * 60 + 110
+                                 for _ in range(3)]), 0, 255).astype(np.float32),
+        "ndvi": np.clip(0.25 + 0.5 * green + 0.15 * _smooth_field(rng, img_size),
+                        -1, 1).astype(np.float32),
+        "temp": (32.0 - 8.0 * green
+                 + 3.0 * _smooth_field(rng, img_size)).astype(np.float32),
+    }
+    for kind, arr in layers.items():
+        np.save(os.path.join(cache_dir, f"fetched_{kind}.npy"), arr)
+    log.info(f"Synthetic demo cache written to {cache_dir}")
+    return layers
+
+
 def load_cached_layers(cache_dir: str, img_size: int = 512) -> dict[str, np.ndarray]:
     """Offline fallback: load previously fetched/bundled tiles (the reference
     bundles Rome tiles in app/cache, Home.py:50-126)."""
@@ -87,5 +113,7 @@ def load_cached_layers(cache_dir: str, img_size: int = 512) -> dict[str, np.ndar
                         path, shape, nearest=(kind == "dw"))
                 break
         else:
-            raise FileNotFoundError(f"No cached {kind} tile in {cache_dir}")
+            log.warning(f"No cached {kind} tile in {cache_dir}; "
+                        "generating a synthetic demo cache.")
+            return make_synthetic_cache(cache_dir, img_size)
     return layers

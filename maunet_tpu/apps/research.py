@@ -17,7 +17,6 @@ import argparse
 import glob
 import os
 
-import numpy as np
 import pandas as pd
 
 

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from maunet_tpu.config import Config
-from maunet_tpu.data.dataset import NpzDataset, make_batches
+from maunet_tpu.data.dataset import make_batches
 from maunet_tpu.data.pipeline import prefetch_to_device
 from maunet_tpu.data.transforms import RandomFlip
 from maunet_tpu.losses import get_loss_fn
@@ -210,6 +210,8 @@ class Trainer:
         t = cfg.training
         epochs = epochs if epochs is not None else t.epochs
 
+        if len(self.train_ds) == 0:
+            raise ValueError(f"Train split is empty under {self.data_dir}")
         example = next(make_batches(self.train_ds, t.batch_size, drop_last=False))
         rng = jax.random.PRNGKey(cfg.seed)
         state = create_train_state(self.model, self.optimizer, rng,

@@ -23,6 +23,19 @@ from maunet_tpu.losses.combined import per_sample_losses
 from maunet_tpu.train.state import TrainState
 
 
+def _ds_loss(loss_fn, outputs, targets):
+    """Deep supervision: average the loss over the 4 heads (UNet++ training
+    convention); single-head models pass through."""
+    if not isinstance(outputs, (tuple, list)):
+        return loss_fn(outputs, targets)
+    per_head = [loss_fn(o, targets) for o in outputs]
+    return {k: sum(d[k] for d in per_head) / len(per_head) for k in per_head[0]}
+
+
+def _last_head(outputs):
+    return outputs[-1] if isinstance(outputs, (tuple, list)) else outputs
+
+
 def _metadata_full(batch: dict[str, Any], metadata_features: int) -> jnp.ndarray:
     """8-feature metadata = concat(meta, t1_dates, t2_dates)
     (reference src/train.py:244); 4-feature checkpoints take meta as-is
@@ -51,7 +64,7 @@ def make_train_step(
                 batch["maps"], batch["temp_series"], meta, batch["temp_lengths"],
                 train=True, mutable=["batch_stats"],
             )
-            losses = loss_fn(outputs, batch["targets"])
+            losses = _ds_loss(loss_fn, outputs, batch["targets"])
             return losses["total"], (losses, updates["batch_stats"])
 
         (_, (losses, new_stats)), grads = jax.value_and_grad(
@@ -87,8 +100,9 @@ def make_train_step_with_outputs(model, loss_fn, optimizer,
                 batch["maps"], batch["temp_series"], meta, batch["temp_lengths"],
                 train=True, mutable=["batch_stats"],
             )
-            losses = loss_fn(outputs, batch["targets"])
-            return losses["total"], (losses, updates["batch_stats"], outputs)
+            losses = _ds_loss(loss_fn, outputs, batch["targets"])
+            return losses["total"], (losses, updates["batch_stats"],
+                                     _last_head(outputs))
 
         (_, (losses, new_stats, outputs)), grads = jax.value_and_grad(
             objective, has_aux=True)(state.params)
@@ -119,7 +133,7 @@ def make_eval_step(
             batch["maps"], batch["temp_series"], meta, batch["temp_lengths"],
             train=False,
         )
-        per_sample = per_sample_losses(outputs, batch["targets"])
+        per_sample = per_sample_losses(_last_head(outputs), batch["targets"])
         valid = batch["valid"].astype(jnp.float32)
         sums = {k: jnp.sum(v * valid) for k, v in per_sample.items()}
         sums["num_samples"] = jnp.sum(valid)
@@ -134,10 +148,10 @@ def make_forward_fn(model, metadata_features: int = 8):
     @partial(jax.jit, static_argnums=())
     def forward(variables, batch):
         meta = _metadata_full(batch, metadata_features)
-        return model.apply(
+        return _last_head(model.apply(
             variables,
             batch["maps"], batch["temp_series"], meta, batch["temp_lengths"],
             train=False,
-        )
+        ))
 
     return forward

@@ -37,6 +37,20 @@ def test_architecture_diagram():
     assert "tanh" in text
 
 
+def test_synthetic_demo_cache_roundtrip(tmp_path):
+    from maunet_tpu.apps.gee_fetch import load_cached_layers
+
+    cache = str(tmp_path / "cache")
+    layers = load_cached_layers(cache, img_size=32)  # empty → synthesizes
+    assert set(layers) == {"dw", "rgb", "ndvi", "temp"}
+    assert layers["dw"].shape == (32, 32)
+    assert layers["rgb"].shape == (3, 32, 32)
+    # second call reads the files back through the tile readers
+    layers2 = load_cached_layers(cache, img_size=32)
+    np.testing.assert_allclose(layers2["ndvi"], layers["ndvi"], atol=1e-6)
+    np.testing.assert_array_equal(layers2["dw"], layers["dw"])
+
+
 @pytest.mark.skipif(not reference_available(), reason="reference tree not mounted")
 def test_planner_engine_end_to_end(tmp_path, rng):
     ckpt = make_reference_checkpoint(str(tmp_path / "m.pth"))

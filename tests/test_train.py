@@ -142,6 +142,23 @@ def test_data_parallel_matches_single_device(synthetic_root):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_deep_supervision_training(synthetic_root):
+    """UNet++ with deep supervision trains: the loss averages the 4 heads."""
+    model = UrbanPredictor("unet++", base_filters=4, temporal_dim=4, meta_dim=4,
+                           lstm_dim=8, deep_supervision=True,
+                           compute_dtype=jnp.float32)
+    opt = make_optimizer("adamw", 1e-3)
+    ds = NpzDataset(f"{synthetic_root}/train", temporal_length=64)
+    batch = next(make_batches(ds, 2)).as_dict()
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, get_loss_fn("mse-gradient"), opt)
+    state, metrics = step(state, jax.device_put(batch))
+    assert np.isfinite(float(metrics["total"]))
+    eval_step = make_eval_step(model)
+    out = jax.device_get(eval_step(state, jax.device_put(batch)))
+    assert np.isfinite(out["total"])
+
+
 def test_spatial_sharding_matches_single_device(synthetic_root):
     """Forward pass with the image H axis sharded over the 'spatial' mesh
     axis must match unsharded numerics (XLA inserts conv halo exchanges and
