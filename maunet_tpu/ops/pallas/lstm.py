@@ -25,53 +25,68 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHUNK = 128
+MAX_CHUNK = 128
+# VMEM budget for the two pipelined input blocks (of ~16 MB total; leaves
+# room for h/c scratch, weights, and Mosaic's own stack).
+_VMEM_INPUT_BUDGET = 8 * 1024 * 1024
 
 
-def _kernel(lengths_ref, xproj_ref, whh_ref, out_ref, h_ref, c_ref):
-    """Grid step = one CHUNK of timesteps.
+def _pick_chunk(b: int, four_h: int) -> int:
+    """Largest multiple-of-8 chunk whose double-buffered input blocks fit the
+    VMEM budget (large sweep batches — e.g. the 50-variant metadata
+    sensitivity batches — overflow a fixed 128-step chunk)."""
+    per_step = 2 * b * four_h * 4  # two buffers, f32
+    chunk = min(MAX_CHUNK, max(8, (_VMEM_INPUT_BUDGET // per_step) // 8 * 8))
+    return chunk
 
-    lengths_ref: (B, 1) i32 in VMEM
-    xproj_ref:   (B, CHUNK, 4H) f32 — x@W_ih + b_ih + b_hh, this chunk
-    whh_ref:     (H, 4H) f32
-    out_ref:     (B, H) f32
-    h_ref/c_ref: (B, H) f32 VMEM scratch, persistent across grid steps
-    """
-    step = pl.program_id(0)
-    num_steps = pl.num_programs(0)
 
-    @pl.when(step == 0)
-    def _():
-        h_ref[:] = jnp.zeros_like(h_ref)
-        c_ref[:] = jnp.zeros_like(c_ref)
+def _make_kernel(chunk: int):
+    def _kernel(lengths_ref, xproj_ref, whh_ref, out_ref, h_ref, c_ref):
+        """Grid step = one ``chunk`` of timesteps.
 
-    hidden = h_ref.shape[1]
-    lengths = lengths_ref[:]  # (B, 1)
+        lengths_ref: (B, 1) i32 in VMEM
+        xproj_ref:   (B, chunk, 4H) f32 — x@W_ih + b_ih + b_hh, this chunk
+        whh_ref:     (H, 4H) f32
+        out_ref:     (B, H) f32
+        h_ref/c_ref: (B, H) f32 VMEM scratch, persistent across grid steps
+        """
+        step = pl.program_id(0)
+        num_steps = pl.num_programs(0)
 
-    def body(i, carry):
-        h, c = carry
-        t = step * CHUNK + i
-        gates = xproj_ref[:, i, :] + jnp.dot(
-            h, whh_ref[:], preferred_element_type=jnp.float32)
-        i_g = jax.nn.sigmoid(gates[:, :hidden])
-        f_g = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
-        g_g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
-        o_g = jax.nn.sigmoid(gates[:, 3 * hidden:])
-        c_new = f_g * c + i_g * g_g
-        h_new = o_g * jnp.tanh(c_new)
-        active = t < lengths  # (B, 1), broadcasts over H
-        return jnp.where(active, h_new, h), jnp.where(active, c_new, c)
+        @pl.when(step == 0)
+        def _():
+            h_ref[:] = jnp.zeros_like(h_ref)
+            c_ref[:] = jnp.zeros_like(c_ref)
 
-    # Mosaic supports only unroll=1 or full unroll; full unroll removes the
-    # loop-carried register spills and halves B=1 latency vs lax.scan.
-    h, c = jax.lax.fori_loop(0, CHUNK, body, (h_ref[:], c_ref[:]),
-                             unroll=CHUNK)
-    h_ref[:] = h
-    c_ref[:] = c
+        hidden = h_ref.shape[1]
+        lengths = lengths_ref[:]  # (B, 1)
 
-    @pl.when(step == num_steps - 1)
-    def _():
-        out_ref[:] = h_ref[:]
+        def body(i, carry):
+            h, c = carry
+            t = step * chunk + i
+            gates = xproj_ref[:, i, :] + jnp.dot(
+                h, whh_ref[:], preferred_element_type=jnp.float32)
+            i_g = jax.nn.sigmoid(gates[:, :hidden])
+            f_g = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+            g_g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+            o_g = jax.nn.sigmoid(gates[:, 3 * hidden:])
+            c_new = f_g * c + i_g * g_g
+            h_new = o_g * jnp.tanh(c_new)
+            active = t < lengths  # (B, 1), broadcasts over H
+            return jnp.where(active, h_new, h), jnp.where(active, c_new, c)
+
+        # Mosaic supports only unroll=1 or full unroll; full unroll removes
+        # the loop-carried register spills and halves B=1 latency vs scan.
+        h, c = jax.lax.fori_loop(0, chunk, body, (h_ref[:], c_ref[:]),
+                                 unroll=chunk)
+        h_ref[:] = h
+        c_ref[:] = c
+
+        @pl.when(step == num_steps - 1)
+        def _():
+            out_ref[:] = h_ref[:]
+
+    return _kernel
 
 
 def lstm_last_hidden_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
@@ -135,13 +150,14 @@ def _pallas_forward(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
                     lengths: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     b, t, four_h = x_proj.shape
     hidden = four_h // 4
-    num_chunks = pl.cdiv(t, CHUNK)
+    chunk = _pick_chunk(b, four_h)
+    num_chunks = pl.cdiv(t, chunk)
 
     grid_spec = pl.GridSpec(
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, CHUNK, four_h), lambda i: (0, i, 0),
+            pl.BlockSpec((b, chunk, four_h), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hidden, four_h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -154,7 +170,7 @@ def _pallas_forward(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
         ],
     )
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hidden), jnp.float32),
         interpret=interpret,

@@ -24,6 +24,30 @@ def test_lstm_kernel_matches_scan(rng, t, lengths):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
 
 
+def test_lstm_chunk_respects_vmem_budget():
+    """Sweep-sized batches (e.g. the 50-variant sensitivity batches) must
+    shrink the chunk so double-buffered input blocks fit VMEM."""
+    from maunet_tpu.ops.pallas.lstm import _VMEM_INPUT_BUDGET, _pick_chunk
+
+    for b, four_h in [(1, 384), (8, 384), (50, 384), (400, 384), (50, 64)]:
+        chunk = _pick_chunk(b, four_h)
+        assert chunk % 8 == 0 and 8 <= chunk <= 128
+        if chunk > 8:
+            assert 2 * b * chunk * four_h * 4 <= _VMEM_INPUT_BUDGET
+    assert _pick_chunk(8, 384) == 128    # small batches keep the full chunk
+    assert _pick_chunk(50, 384) == 48
+
+
+def test_lstm_kernel_large_batch_matches_scan(rng):
+    b, t, hd = 50, 200, 16
+    x_proj = jnp.asarray(rng.normal(size=(b, t, 4 * hd)), jnp.float32)
+    w_hh = jnp.asarray(rng.normal(size=(hd, 4 * hd)) * 0.1, jnp.float32)
+    lens = jnp.asarray([t] * b, jnp.int32)
+    ours = _pallas_forward(x_proj, w_hh, lens, interpret=True)
+    ref = lstm_last_hidden_scan(x_proj, w_hh, lens)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
+
+
 def test_lstm_custom_vjp_grads_match_scan(rng):
     """Training through the pallas backend: the custom VJP must produce the
     scan implementation's gradients."""
