@@ -26,44 +26,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MAX_CHUNK = 128
+MAX_B_BLOCK = 64
 # VMEM budget for the two pipelined input blocks (of ~16 MB total; leaves
 # room for h/c scratch, weights, and Mosaic's own stack).
 _VMEM_INPUT_BUDGET = 8 * 1024 * 1024
 
 
-def _pick_chunk(b: int, four_h: int) -> int:
-    """Largest multiple-of-8 chunk whose double-buffered input blocks fit the
-    VMEM budget (large sweep batches — e.g. the 50-variant metadata
-    sensitivity batches — overflow a fixed 128-step chunk)."""
-    per_step = 2 * b * four_h * 4  # two buffers, f32
-    chunk = min(MAX_CHUNK, max(8, (_VMEM_INPUT_BUDGET // per_step) // 8 * 8))
-    return chunk
+def _pick_blocks(b: int, four_h: int) -> tuple[int, int]:
+    """(batch_block, time_chunk) whose double-buffered input blocks fit the
+    VMEM budget.  Large sweep batches (50-variant sensitivity curves,
+    400-variant heatmap grids) overflow a fixed full-batch 128-step block;
+    the grid blocks over batch first, then shrinks the time chunk."""
+    b_block = min(-(-b // 8) * 8, MAX_B_BLOCK)
+    chunk = _VMEM_INPUT_BUDGET // (2 * b_block * four_h * 4)
+    chunk = min(MAX_CHUNK, max(8, chunk // 8 * 8))
+    while 2 * b_block * chunk * four_h * 4 > _VMEM_INPUT_BUDGET and b_block > 8:
+        b_block //= 2
+        chunk = min(MAX_CHUNK,
+                    max(8, (_VMEM_INPUT_BUDGET // (2 * b_block * four_h * 4))
+                        // 8 * 8))
+    return b_block, chunk
 
 
 def _make_kernel(chunk: int):
     def _kernel(lengths_ref, xproj_ref, whh_ref, out_ref, h_ref, c_ref):
-        """Grid step = one ``chunk`` of timesteps.
+        """Grid = (batch blocks, time chunks); time iterates fastest, so the
+        (h, c) scratch carries state across the t-chunks of one batch block.
 
-        lengths_ref: (B, 1) i32 in VMEM
-        xproj_ref:   (B, chunk, 4H) f32 — x@W_ih + b_ih + b_hh, this chunk
+        lengths_ref: (Bb, 1) i32 in VMEM
+        xproj_ref:   (Bb, chunk, 4H) f32 — x@W_ih + b_ih + b_hh, this block
         whh_ref:     (H, 4H) f32
-        out_ref:     (B, H) f32
-        h_ref/c_ref: (B, H) f32 VMEM scratch, persistent across grid steps
+        out_ref:     (Bb, H) f32
+        h_ref/c_ref: (Bb, H) f32 VMEM scratch
         """
-        step = pl.program_id(0)
-        num_steps = pl.num_programs(0)
+        t_step = pl.program_id(1)
+        num_t = pl.num_programs(1)
 
-        @pl.when(step == 0)
+        @pl.when(t_step == 0)
         def _():
             h_ref[:] = jnp.zeros_like(h_ref)
             c_ref[:] = jnp.zeros_like(c_ref)
 
         hidden = h_ref.shape[1]
-        lengths = lengths_ref[:]  # (B, 1)
+        lengths = lengths_ref[:]  # (Bb, 1)
 
         def body(i, carry):
             h, c = carry
-            t = step * chunk + i
+            t = t_step * chunk + i
             gates = xproj_ref[:, i, :] + jnp.dot(
                 h, whh_ref[:], preferred_element_type=jnp.float32)
             i_g = jax.nn.sigmoid(gates[:, :hidden])
@@ -72,7 +81,7 @@ def _make_kernel(chunk: int):
             o_g = jax.nn.sigmoid(gates[:, 3 * hidden:])
             c_new = f_g * c + i_g * g_g
             h_new = o_g * jnp.tanh(c_new)
-            active = t < lengths  # (B, 1), broadcasts over H
+            active = t < lengths  # (Bb, 1), broadcasts over H
             return jnp.where(active, h_new, h), jnp.where(active, c_new, c)
 
         # Mosaic supports only unroll=1 or full unroll; full unroll removes
@@ -82,7 +91,7 @@ def _make_kernel(chunk: int):
         h_ref[:] = h
         c_ref[:] = c
 
-        @pl.when(step == num_steps - 1)
+        @pl.when(t_step == num_t - 1)
         def _():
             out_ref[:] = h_ref[:]
 
@@ -150,23 +159,24 @@ def _pallas_forward(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
                     lengths: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     b, t, four_h = x_proj.shape
     hidden = four_h // 4
-    chunk = _pick_chunk(b, four_h)
-    num_chunks = pl.cdiv(t, chunk)
+    b_block, chunk = _pick_blocks(b, four_h)
+    grid = (pl.cdiv(b, b_block), pl.cdiv(t, chunk))
 
     grid_spec = pl.GridSpec(
-        grid=(num_chunks,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((b, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, chunk, four_h), lambda i: (0, i, 0),
+            pl.BlockSpec((b_block, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, four_h), lambda i: (0, 0),
+            pl.BlockSpec((b_block, chunk, four_h), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, four_h), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, hidden), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((b_block, hidden), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((b, hidden), jnp.float32),
-            pltpu.VMEM((b, hidden), jnp.float32),
+            pltpu.VMEM((b_block, hidden), jnp.float32),
+            pltpu.VMEM((b_block, hidden), jnp.float32),
         ],
     )
     return pl.pallas_call(

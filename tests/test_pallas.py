@@ -24,18 +24,19 @@ def test_lstm_kernel_matches_scan(rng, t, lengths):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
 
 
-def test_lstm_chunk_respects_vmem_budget():
-    """Sweep-sized batches (e.g. the 50-variant sensitivity batches) must
-    shrink the chunk so double-buffered input blocks fit VMEM."""
-    from maunet_tpu.ops.pallas.lstm import _VMEM_INPUT_BUDGET, _pick_chunk
+def test_lstm_blocks_respect_vmem_budget():
+    """Sweep-sized batches (50-variant curves, 400-variant heatmap grids)
+    must block over batch/time so double-buffered input blocks fit VMEM."""
+    from maunet_tpu.ops.pallas.lstm import _VMEM_INPUT_BUDGET, _pick_blocks
 
-    for b, four_h in [(1, 384), (8, 384), (50, 384), (400, 384), (50, 64)]:
-        chunk = _pick_chunk(b, four_h)
-        assert chunk % 8 == 0 and 8 <= chunk <= 128
-        if chunk > 8:
-            assert 2 * b * chunk * four_h * 4 <= _VMEM_INPUT_BUDGET
-    assert _pick_chunk(8, 384) == 128    # small batches keep the full chunk
-    assert _pick_chunk(50, 384) == 48
+    for b, four_h in [(1, 384), (8, 384), (50, 384), (400, 384),
+                      (50, 64), (4096, 512)]:
+        b_block, chunk = _pick_blocks(b, four_h)
+        assert b_block % 8 == 0 and chunk % 8 == 0 and chunk <= 128
+        assert 2 * b_block * chunk * four_h * 4 <= _VMEM_INPUT_BUDGET
+    assert _pick_blocks(8, 384) == (8, 128)  # small batches: full time chunk
+    b_block, chunk = _pick_blocks(400, 384)
+    assert b_block <= 64
 
 
 def test_lstm_kernel_large_batch_matches_scan(rng):
