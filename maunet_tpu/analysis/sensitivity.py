@@ -128,8 +128,14 @@ def run_sensitivity(
 
     sweep_jit = jax.jit(sweep_forward)
 
-    def run_variants(sample, meta_overrides: np.ndarray) -> np.ndarray:
-        """meta_overrides: (N, 4) z-scored metadata rows; returns (N, C)."""
+    # Variant batches are chunked to bound HBM: a 400-variant heatmap of
+    # 256² tiles would otherwise materialize ~12 GB of broadcast inputs
+    # (the reference mini-batches heatmaps at 50 for the same reason,
+    # metadata_sensitivity.py:385).  50 is also the sweep length, so every
+    # chunk shares one compiled shape.
+    variant_chunk = LAT_STEPS
+
+    def _run_chunk(sample, meta_overrides: np.ndarray) -> np.ndarray:
         n = meta_overrides.shape[0]
         maps = jnp.broadcast_to(jnp.asarray(sample["maps"]),
                                 (n, *sample["maps"].shape))
@@ -142,6 +148,22 @@ def run_sensitivity(
             meta = jnp.concatenate(
                 [meta, jnp.broadcast_to(jnp.asarray(dates), (n, 4))], axis=1)
         return np.asarray(sweep_jit(loaded.variables, maps, series, lengths, meta))
+
+    def run_variants(sample, meta_overrides: np.ndarray) -> np.ndarray:
+        """meta_overrides: (N, 4) z-scored metadata rows; returns (N, C)."""
+        n = meta_overrides.shape[0]
+        if n <= variant_chunk:
+            return _run_chunk(sample, meta_overrides)
+        pieces = []
+        for start in range(0, n, variant_chunk):
+            chunk = meta_overrides[start:start + variant_chunk]
+            if chunk.shape[0] < variant_chunk:  # pad to the compiled shape
+                pad = np.repeat(chunk[-1:], variant_chunk - chunk.shape[0], 0)
+                out = _run_chunk(sample, np.concatenate([chunk, pad]))
+                pieces.append(out[:chunk.shape[0]])
+            else:
+                pieces.append(_run_chunk(sample, chunk))
+        return np.concatenate(pieces)
 
     lat_norms = (LAT_RANGE - meta_mean[0]) / meta_std[0]
     lon_norms = (LON_RANGE - meta_mean[1]) / meta_std[1]
