@@ -29,19 +29,24 @@ def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
     coords = np.arange(size, dtype=np.float64) - (size - 1) / 2.0
     g = np.exp(-(coords ** 2) / (2.0 * sigma ** 2))
     g /= g.sum()
-    k = np.outer(g, g)
-    return (k / k.sum()).astype(np.float32)
+    return g.astype(np.float32)
 
 
-def _depthwise_blur(x: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
-    """VALID-padded depthwise conv of NHWC x with a shared 2-D window."""
+def _depthwise_blur(x: jnp.ndarray, kernel1d: jnp.ndarray) -> jnp.ndarray:
+    """VALID-padded depthwise gaussian blur of NHWC x.
+
+    The 2-D window is the outer product of the 1-D gaussian, so the blur is
+    separable: two 1-D depthwise convs (11+11 MACs/pixel instead of 121) —
+    this also roughly halves the SSIM loss's backward cost."""
     c = x.shape[-1]
-    k = jnp.broadcast_to(kernel2d[:, :, None, None], (*kernel2d.shape, 1, c))
+    size = kernel1d.shape[0]
+    kw = dict(window_strides=(1, 1), padding="VALID",
+              dimension_numbers=("NHWC", "HWIO", "NHWC"),
+              feature_group_count=c)
+    k_h = jnp.broadcast_to(kernel1d[:, None, None, None], (size, 1, 1, c))
+    k_w = jnp.broadcast_to(kernel1d[None, :, None, None], (1, size, 1, c))
     return lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+        lax.conv_general_dilated(x, k_h, **kw), k_w, **kw)
 
 
 def _avg_pool(x: jnp.ndarray, f: int) -> jnp.ndarray:
