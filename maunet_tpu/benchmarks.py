@@ -71,6 +71,17 @@ def bench_inference(rng) -> None:
         _record(f"inference_unet64_256px_b{b}", b / dt, "tiles/sec/chip",
                 ms_per_batch=round(dt * 1000, 2))
 
+    # U-Net++ at its reference default width (base_filters=32, embeddings at
+    # every decoder node — reference src/model.py:53-96)
+    pp = UrbanPredictor("unet++", base_filters=32, temporal_dim=64,
+                        meta_dim=64, lstm_dim=96)
+    args = _model_inputs(rng, 8)
+    variables = jax.jit(pp.init)(jax.random.PRNGKey(0), *args)
+    fwd_pp = jax.jit(lambda v, *a: pp.apply(v, *a))
+    dt = _time_device(lambda: fwd_pp(variables, *args), np.asarray)
+    _record("inference_unetpp32_256px_b8", 8 / dt, "tiles/sec/chip",
+            ms_per_batch=round(dt * 1000, 2))
+
 
 def bench_train(rng) -> None:
     import jax
