@@ -113,6 +113,13 @@ class Trainer:
             data_axis=cfg.parallel.data_axis,
             spatial_axis=cfg.parallel.spatial_axis,
         ) if use_mesh else None
+        if self.mesh is not None:
+            dp = self.mesh.shape[cfg.parallel.data_axis]
+            if t.batch_size % dp != 0:
+                raise ValueError(
+                    f"training.batch_size={t.batch_size} must be divisible by "
+                    f"the data-parallel mesh axis ({dp} devices); set "
+                    f"parallel.data_parallel or adjust the batch size.")
 
         self.train_step = make_train_step(
             self.model, self.loss_fn, self.optimizer, self.metadata_features)

@@ -142,6 +142,22 @@ def test_data_parallel_matches_single_device(synthetic_root):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_trainer_with_mesh_end_to_end(synthetic_root, tmp_path):
+    """Full Trainer epoch over the 8-virtual-device data-parallel mesh,
+    including sharded prefetch and masked validation."""
+    cfg = _tiny_cfg().with_overrides(**{"training.batch_size": 8})
+    trainer = Trainer(cfg, data_dir=synthetic_root, work_dir=str(tmp_path),
+                      study_name="mesh", use_mesh=True)
+    assert dict(trainer.mesh.shape) == {"data": 8, "spatial": 1}
+    result = trainer.train(epochs=1)
+    assert np.isfinite(result.best_val_loss)
+
+    bad_cfg = _tiny_cfg().with_overrides(**{"training.batch_size": 6})
+    with pytest.raises(ValueError, match="divisible"):
+        Trainer(bad_cfg, data_dir=synthetic_root, work_dir=str(tmp_path),
+                study_name="mesh-bad", use_mesh=True)
+
+
 def test_deep_supervision_training(synthetic_root):
     """UNet++ with deep supervision trains: the loss averages the 4 heads."""
     model = UrbanPredictor("unet++", base_filters=4, temporal_dim=4, meta_dim=4,
