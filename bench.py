@@ -25,7 +25,7 @@ HW = 256          # tile edge (reference tiles are 250; 256 is the TPU tile)
 T = 828           # CRU series length
 BATCH_TPU = 8
 BATCH_TORCH = 2
-TORCH_ITERS = 3
+TORCH_ITERS = 10
 TPU_ITERS = 30
 
 

@@ -69,6 +69,7 @@ def plot_average_sensitivity(export: dict, output_dir: str) -> list[str]:
                 output_dir,
                 f"avg_sensitivity_{sweep_name}_{ch}_{export['model_name']}.pdf")
             fig.savefig(path, bbox_inches="tight")
+            fig.savefig(path[:-4] + ".png", bbox_inches="tight", dpi=110)
             plt.close(fig)
             paths.append(path)
     return paths
@@ -95,6 +96,7 @@ def plot_individual_sensitivity(df, sweep_name: str, channels: list[str],
         ax.legend(fontsize=8, ncol=2)
         path = os.path.join(output_dir, f"individual_sensitivity_{sweep_name}_{ch}.pdf")
         fig.savefig(path, bbox_inches="tight")
+        fig.savefig(path[:-4] + ".png", bbox_inches="tight", dpi=110)
         plt.close(fig)
         paths.append(path)
     return paths
@@ -121,6 +123,7 @@ def plot_heatmaps(export: dict, output_dir: str) -> list[str]:
             ax.legend()
             path = os.path.join(output_dir, f"heatmap_sample{idx}_{ch}.pdf")
             fig.savefig(path, bbox_inches="tight")
+            fig.savefig(path[:-4] + ".png", bbox_inches="tight", dpi=110)
             plt.close(fig)
             paths.append(path)
     return paths

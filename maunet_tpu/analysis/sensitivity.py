@@ -88,6 +88,7 @@ def run_sensitivity(
     study_name: str = "sensitivity_analysis",
     seed: int = 0,
     make_plots: bool = True,
+    trackers: list | None = None,
 ) -> str:
     cfg = cfg or Config()
     data_dir = data_dir or cfg.paths.processed_image_dataset
@@ -256,11 +257,18 @@ def run_sensitivity(
             plot_individual_sensitivity,
         )
 
-        plot_average_sensitivity(export, output_dir)
+        figure_paths = list(plot_average_sensitivity(export, output_dir))
         if results_lat:
             plot_individual_sensitivity(
                 pd.DataFrame(results_lat), "latitude", channels, output_dir)
             plot_individual_sensitivity(
                 pd.DataFrame(results_lon), "longitude", channels, output_dir)
-        plot_heatmaps(export, output_dir)
+        figure_paths += plot_heatmaps(export, output_dir)
+        # Sensitivity figures to the tracker (reference
+        # test/metadata_sensitivity.py:685-712 logs them as wandb images).
+        for tracker in trackers or []:
+            for fig_path in figure_paths:
+                key = os.path.splitext(os.path.basename(fig_path))[0]
+                # the .png twin — wandb.Image cannot ingest PDF
+                tracker.log_image(f"sensitivity/{key}", fig_path[:-4] + ".png")
     return export_path

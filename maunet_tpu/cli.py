@@ -65,6 +65,12 @@ def cmd_train(args) -> int:
         study = create_study(seed_study, storage_dir=f"{args.work_dir}_hpo")
 
         def objective(trial, seed_cfg=seed_cfg, seed_study=seed_study):
+            if args.search:
+                from maunet_tpu.train.hpo import suggest_training_params
+
+                seed_cfg = seed_cfg.with_overrides(
+                    **suggest_training_params(trial))
+                log.info(f"Trial {trial.number} params: {trial.params}")
             trackers = []
             if args.wandb:
                 trackers.append(WandbTracker(
@@ -148,6 +154,67 @@ def cmd_pack(args) -> int:
     if os.path.exists(stats):
         shutil.copy(stats, f"{args.out_dir or args.data_dir + '_packed'}/"
                            "normalization_metrics.json")
+    return 0
+
+
+def cmd_export_torch(args) -> int:
+    """Orbax checkpoint dir → reference-format .pth, optionally with the
+    optimizer state converted for torch training resume."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maunet_tpu.interop.torch_export import export_torch_checkpoint
+    from maunet_tpu.models.factory import build_model
+    from maunet_tpu.train.checkpoint import (
+        load_metadata,
+        restore_checkpoint,
+        restore_variables,
+    )
+    from maunet_tpu.train.state import create_train_state
+
+    meta = load_metadata(args.checkpoint_dir)
+    hp = dict(meta.get("hyperparameters", {}))
+    hp.setdefault("lr", hp.get("learning_rate", 1e-4))
+
+    opt_state = None
+    if args.with_optimizer:
+        from maunet_tpu.train.optimizers import make_optimizer
+
+        # Rebuild the exact model+optimizer structure the checkpoint was
+        # saved with, restore the full TrainState, then convert.
+        model = build_model(hp, compute_dtype=jnp.float32)
+        example = {
+            "maps": np.zeros((1, 32, 32, 23), np.float32),
+            "temp_series": np.zeros((1, 16), np.float32),
+            "metadata": np.zeros((1, 4), np.float32),
+            "t1_dates": np.zeros((1, 2), np.float32),
+            "t2_dates": np.zeros((1, 2), np.float32),
+            "temp_lengths": np.full((1,), 16, np.int32),
+        }
+        tx = make_optimizer(
+            hp.get("optimizer", "adamw"),
+            learning_rate=float(hp.get("learning_rate", 1e-4)),
+            weight_decay=float(hp.get("weight_decay", 0.0)),
+            momentum=float(hp.get("momentum", 0.9)),
+            gradient_clipping=float(hp.get("gradient_clipping", 0.0)))
+        example_state = create_train_state(
+            model, tx, jax.random.PRNGKey(0), example,
+            metadata_features=int(meta.get("metadata_input_length", 8)))
+        state, _ = restore_checkpoint(args.checkpoint_dir, example_state)
+        variables, opt_state = state.variables, jax.device_get(state.opt_state)
+        variables = jax.device_get(variables)
+    else:
+        variables, _ = restore_variables(args.checkpoint_dir)
+
+    out = export_torch_checkpoint(
+        args.out_path, variables, hp, opt_state=opt_state,
+        metadata_input_length=meta.get("metadata_input_length", 8),
+        study_name=meta.get("study_name", ""),
+        trial_id=meta.get("trial_id", 0),
+        epoch=meta.get("epoch", 0), loss=meta.get("loss"))
+    log.success(f"Exported {out}"
+                + (" (with optimizer state)" if opt_state is not None else ""))
     return 0
 
 
@@ -249,6 +316,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--metadata-embeddings", action=argparse.BooleanOptionalAction,
                     default=True)
     sp.add_argument("--n-trials", type=int, default=1)
+    sp.add_argument("--search", action="store_true",
+                    help="enable the default hyperparameter search space "
+                         "(lr, weight_decay, optimizer; TPE-lite sampler)")
     sp.add_argument("--epochs", type=int, default=None)
     sp.add_argument("--data-dir", default=None)
     sp.add_argument("--work-dir", default="reports/training")
@@ -295,6 +365,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--splits", nargs="+", default=["train", "val", "test"])
     sp.add_argument("--shard-size", type=int, default=64)
     sp.set_defaults(fn=cmd_pack)
+
+    sp = sub.add_parser("export-torch",
+                        help="orbax checkpoint → reference-format .pth")
+    sp.add_argument("checkpoint_dir")
+    sp.add_argument("out_path")
+    sp.add_argument("--with-optimizer", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="embed optimizer_state_dict for torch training resume")
+    sp.set_defaults(fn=cmd_export_torch)
 
     sp = sub.add_parser("process", help="raw tiles → processed .npz dataset")
     common(sp)

@@ -251,4 +251,7 @@ def evaluate_checkpoint(
             f"metrics/{'known' if k else 'unknown'}/{ch}/mae": float(g["mae"].mean())
             for (k, ch), g in overall.groupby(["is_known_city", "channel"])
         })
+        # Summary table to the tracker (reference test/evaluate.py:314-359
+        # logs the grouped summary as a wandb.Table).
+        tracker.log_table("evaluation/summary", summary)
     return df

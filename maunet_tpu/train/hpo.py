@@ -57,7 +57,7 @@ class Trial:
     def params(self) -> dict[str, Any]:
         return self.record.params
 
-    # -- suggest API (seeded random search; honors re-enqueued params) ----
+    # -- suggest API (honors re-enqueued params; delegates to the sampler) --
     def _remember(self, name: str, value):
         self.record.params[name] = value
         return value
@@ -65,23 +65,23 @@ class Trial:
     def suggest_float(self, name: str, low: float, high: float, log: bool = False):
         if name in self._enqueued:
             return self._remember(name, self._enqueued[name])
-        if log:
-            import math
-
-            value = math.exp(self._rng.uniform(math.log(low), math.log(high)))
-        else:
-            value = self._rng.uniform(low, high)
+        value = self.study.sampler.sample_float(
+            self.study, self._rng, name, low, high, log)
         return self._remember(name, value)
 
     def suggest_int(self, name: str, low: int, high: int):
         if name in self._enqueued:
             return self._remember(name, int(self._enqueued[name]))
-        return self._remember(name, self._rng.randint(low, high))
+        value = int(round(self.study.sampler.sample_float(
+            self.study, self._rng, name, low, high, False)))
+        return self._remember(name, max(low, min(high, value)))
 
     def suggest_categorical(self, name: str, choices: list):
         if name in self._enqueued:
             return self._remember(name, self._enqueued[name])
-        return self._remember(name, self._rng.choice(list(choices)))
+        value = self.study.sampler.sample_categorical(
+            self.study, self._rng, name, list(choices))
+        return self._remember(name, value)
 
     # -- pruning ----------------------------------------------------------
     def report(self, value: float, step: int) -> None:
@@ -90,6 +90,123 @@ class Trial:
 
     def should_prune(self) -> bool:
         return self.study.pruner.should_prune(self.study, self.record)
+
+
+class RandomSampler:
+    """Independent uniform sampling — the reference's effective behavior
+    (its Optuna objective never calls suggest_*, so its TPE never engages)."""
+
+    def sample_float(self, study: "Study", rng: random.Random, name: str,
+                     low: float, high: float, log_scale: bool) -> float:
+        import math
+
+        if log_scale:
+            return math.exp(rng.uniform(math.log(low), math.log(high)))
+        return rng.uniform(low, high)
+
+    def sample_categorical(self, study: "Study", rng: random.Random,
+                           name: str, choices: list):
+        return rng.choice(choices)
+
+
+class TPESampler(RandomSampler):
+    """Tree-structured-Parzen-estimator-lite (Bergstra et al. 2011).
+
+    Splits completed trials into the best gamma fraction ("good") and the
+    rest ("bad"), fits a 1-D Parzen window (gaussian KDE) to each group's
+    values of the parameter, samples candidates from the good KDE and keeps
+    the one maximizing l_good(x)/l_bad(x).  Falls back to random sampling
+    until ``n_startup_trials`` trials have completed.  Pure-stdlib — optuna
+    is not available in this image."""
+
+    def __init__(self, n_startup_trials: int = 8, gamma: float = 0.25,
+                 n_candidates: int = 24):
+        self.n_startup_trials = n_startup_trials
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+
+    def _split(self, study: "Study", name: str):
+        done = [t for t in study.trials
+                if t.state == COMPLETE and t.value is not None
+                and name in t.params]
+        if len(done) < self.n_startup_trials:
+            return None, None
+        reverse = study.direction != "minimize"
+        done.sort(key=lambda t: t.value, reverse=reverse)
+        n_good = max(1, int(self.gamma * len(done)))
+        good = [t.params[name] for t in done[:n_good]]
+        bad = [t.params[name] for t in done[n_good:]] or good
+        return good, bad
+
+    @staticmethod
+    def _kde_logpdf(x: float, points: list[float], bandwidth: float) -> float:
+        import math
+
+        if bandwidth <= 0:
+            bandwidth = 1e-12
+        acc = 0.0
+        for p in points:
+            z = (x - p) / bandwidth
+            acc += math.exp(-0.5 * z * z)
+        return math.log(acc / (len(points) * bandwidth) + 1e-300)
+
+    def sample_float(self, study: "Study", rng: random.Random, name: str,
+                     low: float, high: float, log_scale: bool) -> float:
+        import math
+
+        good, bad = self._split(study, name)
+        if good is None:
+            return super().sample_float(study, rng, name, low, high, log_scale)
+        to_u = (lambda v: math.log(v)) if log_scale else (lambda v: v)
+        from_u = (lambda u: math.exp(u)) if log_scale else (lambda u: u)
+        lo_u, hi_u = to_u(low), to_u(high)
+        good_u = [to_u(v) for v in good]
+        bad_u = [to_u(v) for v in bad]
+        # Scott's-rule-flavored bandwidth, floored at 1/20 of the range so a
+        # tight good-cluster still explores.
+        span = hi_u - lo_u
+
+        def bw(pts):
+            if len(pts) < 2:
+                return span / 4
+            mean = sum(pts) / len(pts)
+            var = sum((p - mean) ** 2 for p in pts) / (len(pts) - 1)
+            return max(math.sqrt(var) * len(pts) ** -0.2, span / 20)
+
+        bw_good, bw_bad = bw(good_u), bw(bad_u)
+        best_u, best_score = None, -math.inf
+        for _ in range(self.n_candidates):
+            center = rng.choice(good_u)
+            cand = min(hi_u, max(lo_u, rng.gauss(center, bw_good)))
+            score = (self._kde_logpdf(cand, good_u, bw_good)
+                     - self._kde_logpdf(cand, bad_u, bw_bad))
+            if score > best_score:
+                best_u, best_score = cand, score
+        return from_u(best_u)
+
+    def sample_categorical(self, study: "Study", rng: random.Random,
+                           name: str, choices: list):
+        good, bad = self._split(study, name)
+        if good is None:
+            return super().sample_categorical(study, rng, name, choices)
+        # Weighted by smoothed good-count / smoothed bad-count.
+        weights = [(good.count(c) + 1.0) / (bad.count(c) + 1.0) for c in choices]
+        return rng.choices(choices, weights=weights, k=1)[0]
+
+
+def suggest_training_params(trial: Trial) -> dict[str, Any]:
+    """Default search space for ``maunet train --search`` (the reference
+    ships an Optuna study that suggests nothing, src/train.py:120-225; this
+    makes the HPO subsystem actually search).  Returns dotted config
+    overrides for :meth:`Config.with_overrides`."""
+    return {
+        "training.learning_rate": trial.suggest_float(
+            "learning_rate", 1e-5, 1e-2, log=True),
+        "training.weight_decay": trial.suggest_float(
+            "weight_decay", 1e-6, 1e-2, log=True),
+        "training.optimizer": trial.suggest_categorical(
+            "optimizer", ["adam", "adamw", "sgd"]),
+    }
 
 
 class MedianPruner:
@@ -125,10 +242,12 @@ class MedianPruner:
 class Study:
     def __init__(self, study_name: str, storage_dir: str = "reports/training_hpo",
                  direction: str = "minimize", pruner: MedianPruner | None = None,
-                 load_if_exists: bool = True):
+                 load_if_exists: bool = True,
+                 sampler: RandomSampler | None = None):
         self.study_name = study_name
         self.direction = direction
         self.pruner = pruner or MedianPruner()
+        self.sampler = sampler or TPESampler()
         self.storage_path = os.path.join(storage_dir, f"{study_name}.json")
         os.makedirs(storage_dir, exist_ok=True)
         self.trials: list[TrialRecord] = []
@@ -189,5 +308,7 @@ class Study:
 
 def create_study(study_name: str, storage_dir: str = "reports/training_hpo",
                  direction: str = "minimize", load_if_exists: bool = True,
-                 pruner: MedianPruner | None = None) -> Study:
-    return Study(study_name, storage_dir, direction, pruner, load_if_exists)
+                 pruner: MedianPruner | None = None,
+                 sampler: RandomSampler | None = None) -> Study:
+    return Study(study_name, storage_dir, direction, pruner, load_if_exists,
+                 sampler=sampler)

@@ -64,6 +64,11 @@ def hyperparams_from_config(cfg: Config) -> dict[str, Any]:
         "temporal_embeddings": t.temporal_embeddings,
         "metadata_embeddings": t.metadata_embeddings,
         "deep_supervision": t.deep_supervision,
+        # Extra vs the reference dict: lets `maunet export-torch` rebuild
+        # the exact optax chain to convert optimizer state for torch resume.
+        "optimizer": t.optimizer,
+        "momentum": t.momentum,
+        "gradient_clipping": t.gradient_clipping,
     }
 
 
@@ -176,12 +181,16 @@ class Trainer:
             stats_path = os.path.join(self.data_dir, "normalization_metrics.json")
             stats = (NormalizationStats.from_json(stats_path)
                      if os.path.exists(stats_path) else None)
-            plot_predictions_vs_targets(
+            png = plot_predictions_vs_targets(
                 jax.device_get(batch), np.asarray(outputs),
                 os.path.join(self.work_dir, "visualizations"),
                 self.study_name, self.trial_id, step,
                 float(metrics["total"]), stats,
                 channels=tuple(self.cfg.dataset.target_channels))
+            # Live prediction plots to the tracker (reference
+            # src/train.py:266-280 logs wandb.Image every frequency_plt).
+            for tracker in self.trackers:
+                tracker.log_image("train/predictions", png, step=step)
         except Exception as e:  # plotting must never kill training
             log.warning(f"Prediction plot failed at step {step}: {e}")
 

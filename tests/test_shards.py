@@ -1,7 +1,5 @@
 """Packed-shard dataset tests."""
 
-import time
-
 import numpy as np
 import pytest
 
@@ -72,19 +70,19 @@ def test_cli_pack_and_trainer_on_shards(roots, tmp_path):
     assert np.isfinite(result.best_val_loss)
 
 
-def test_sharded_faster_sequential_read(roots):
+def test_sharded_sequential_read_correct(roots):
+    """Sequential reads through the shard cache return the same samples as
+    per-file reads on every pass (exercises the per-shard LRU reuse path).
+
+    Read *speed* is a benchmark concern, not a test assert — see
+    maunet_tpu/benchmarks.py (the old wall-clock assert here flaked on
+    the 1-core CI host)."""
     src, packed = roots
     ds = NpzDataset(f"{src}/train", temporal_length=64)
     sds = ShardedNpzDataset(packed)
 
-    t0 = time.time()
-    for _ in range(3):
+    for _ in range(2):  # second pass hits the warm shard cache
         for i in range(len(ds)):
-            ds[i]
-    t_files = time.time() - t0
-    t0 = time.time()
-    for _ in range(3):
-        for i in range(len(sds)):
-            sds[i]
-    t_shards = time.time() - t0
-    assert t_shards < t_files, (t_shards, t_files)
+            a, b = ds[i], sds[i]
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=f"{i}/{k}")
