@@ -25,13 +25,18 @@ STATE_DIR = "state"
 
 
 def save_checkpoint(path: str, state: TrainState, metadata: dict[str, Any]) -> None:
+    # Multi-host: every process must call ckptr.save (orbax synchronizes
+    # internally and the primary host writes); only process 0 writes the
+    # metadata sidecar.
     path = os.path.abspath(path)
-    os.makedirs(path, exist_ok=True)
+    if jax.process_index() == 0:
+        os.makedirs(path, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
         state_path = os.path.join(path, STATE_DIR)
         ckptr.save(state_path, jax.device_get(state), force=True)
-    with open(os.path.join(path, METADATA_FILE), "w") as f:
-        json.dump(metadata, f, indent=2, default=str)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, METADATA_FILE), "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
 
 
 def load_metadata(path: str) -> dict[str, Any]:

@@ -126,6 +126,23 @@ class Trainer:
                     f"the data-parallel mesh axis ({dp} devices); set "
                     f"parallel.data_parallel or adjust the batch size.")
 
+        # Multi-host: each process loads only the batch rows its addressable
+        # devices own; the pipeline assembles global arrays with
+        # jax.make_array_from_process_local_data (SURVEY.md §2.2/§5).
+        self._host_slice = None
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from maunet_tpu.parallel.multihost import host_batch_slice_for_sharding
+
+            self._host_slice = host_batch_slice_for_sharding(
+                NamedSharding(self.mesh, PartitionSpec(cfg.parallel.data_axis)),
+                t.batch_size)
+            log.info(f"Multi-host input sharding: process "
+                     f"{jax.process_index()}/{jax.process_count()} loads "
+                     f"batch rows [{self._host_slice.start}:"
+                     f"{self._host_slice.stop}) of {t.batch_size}")
+
         self.train_step = make_train_step(
             self.model, self.loss_fn, self.optimizer, self.metadata_features)
         self.eval_step = make_eval_step(self.model, self.metadata_features)
@@ -153,7 +170,8 @@ class Trainer:
     def _device_batches(self, dataset, shuffle, epoch, drop_last):
         batches = make_batches(
             dataset, self.cfg.training.batch_size, shuffle=shuffle,
-            seed=self.cfg.seed, epoch=epoch, drop_last=drop_last)
+            seed=self.cfg.seed, epoch=epoch, drop_last=drop_last,
+            sample_slice=self._host_slice)
         first = next(batches, None)
         if first is None:
             return iter(())
@@ -228,7 +246,9 @@ class Trainer:
 
         if len(self.train_ds) == 0:
             raise ValueError(f"Train split is empty under {self.data_dir}")
-        example = next(make_batches(self.train_ds, t.batch_size, drop_last=False))
+        example = next(make_batches(self.train_ds, t.batch_size,
+                                    drop_last=False,
+                                    sample_slice=self._host_slice))
         rng = jax.random.PRNGKey(cfg.seed)
         state = create_train_state(self.model, self.optimizer, rng,
                                    example.as_dict(), self.metadata_features)
@@ -269,7 +289,10 @@ class Trainer:
                                               drop_last=True):
                 bsz = batch["maps"].shape[0]
                 if (cfg.logging.frequency_plt
-                        and step % cfg.logging.frequency_plt == 0):
+                        and step % cfg.logging.frequency_plt == 0
+                        # plotting fetches the batch to host; a multi-host
+                        # global batch is not addressable from one process
+                        and jax.process_count() == 1):
                     state, metrics, outputs = self._plot_train_step(state, batch)
                     self._render_plot(batch, outputs, metrics, epoch, step)
                 else:
