@@ -113,6 +113,13 @@ def load_cached_layers(cache_dir: str, img_size: int = 512) -> dict[str, np.ndar
                         path, shape, nearest=(kind == "dw"))
                 break
         else:
+            from maunet_tpu.apps.planner_core import DEMO_CACHE, load_demo_layers
+
+            if os.path.exists(DEMO_CACHE):
+                log.info(f"No cached {kind} tile in {cache_dir}; using the "
+                         "bundled demo tiles (reference bundles Rome tiles "
+                         "in app/cache, Home.py:50-126).")
+                return load_demo_layers(img_size)
             log.warning(f"No cached {kind} tile in {cache_dir}; "
                         "generating a synthetic demo cache.")
             return make_synthetic_cache(cache_dir, img_size)

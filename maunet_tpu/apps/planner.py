@@ -1,9 +1,13 @@
 """Urban Greening Planner — interactive Streamlit app.
 
 Capability parity with reference app/Home.py:50-416: GEE credential entry
-with a cache-only fallback, sidebar location/date inputs, checkpoint picker,
-four-layer display, a drawable land-cover canvas with the 9-class brush
-palette, and predict → NDVI / LST / ΔLST maps with the mean-cooling metric.
+with a cache-only fallback pinned to bundled demo tiles, sidebar
+location/date inputs, checkpoint picker, four-layer display, a drawable
+land-cover canvas **painted over the colorized DW map**, and predict →
+NDVI / LST / ΔLST maps with the mean-cooling metric.
+
+All UI decisions are pure functions in apps/planner_core.py (tested without
+streamlit); this module is the thin streamlit wiring.
 
 Run:  streamlit run maunet_tpu/apps/planner.py -- --models-dir models
 Requires streamlit (+ streamlit_drawable_canvas for painting; degrades to
@@ -17,10 +21,14 @@ import argparse
 import glob
 import os
 
-import numpy as np
-
 from maunet_tpu.apps.engine import CANVAS_PALETTE, PlannerEngine
-from maunet_tpu.utils.dw import dw_to_rgb
+from maunet_tpu.apps.planner_core import (
+    canvas_background,
+    layer_views,
+    load_demo_layers,
+    prediction_views,
+    resolve_data_mode,
+)
 
 
 def _args():
@@ -40,27 +48,43 @@ def main() -> None:
     args = _args()
     st.set_page_config(page_title="Urban Greening Planner", layout="wide")
     st.title("🌳 Urban Greening Planner (TPU)")
+    st.markdown("Predict the microclimatic impact (LST & NDVI) of your "
+                "urban scenarios.")
+
+    # --- GEE credentials / cache-only flow (reference Home.py:50-126) ---
+    default_project = os.getenv("GEE_PROJECT_ID", "")
+    default_sa = os.getenv("GEE_SERVICE_ACCOUNT", "")
+    with st.expander("Google Earth Engine Credentials",
+                     expanded=not (default_project and default_sa)):
+        project_id = st.text_input("GEE Project ID", value=default_project)
+        service_account = st.text_input("GEE Service Account", value=default_sa)
+        os.environ["GEE_PROJECT_ID"] = project_id
+        os.environ["GEE_SERVICE_ACCOUNT"] = service_account
+    data_mode = resolve_data_mode(project_id, service_account,
+                                  os.path.exists(".private-key.json"))
+    if data_mode.mode == "cache":
+        st.warning(f"⚠️ {data_mode.reason}")
+    d = data_mode.defaults
 
     # --- Sidebar: location/date/model (reference Home.py:128-172) ---
     with st.sidebar:
         st.header("Location & Time")
-        lat = st.number_input("Latitude", -60.0, 70.0, 41.9, step=0.01)
-        lon = st.number_input("Longitude", -180.0, 180.0, 12.5, step=0.01)
-        population = st.number_input("Population", 0, 50_000_000, 2_800_000)
-        year_t1 = st.number_input("Observation year (t1)", 2017, 2025, 2023)
-        month_t1 = st.number_input("Observation month (t1)", 1, 12, 7)
+        lat = st.number_input("Latitude", -60.0, 70.0, d["lat"], step=0.01)
+        lon = st.number_input("Longitude", -180.0, 180.0, d["lon"], step=0.01)
+        population = st.number_input("Population", 0, 50_000_000,
+                                     int(d["population"]))
+        year_t1 = st.number_input("Observation year (t1)", 2017, 2025, d["year"])
+        month_t1 = st.number_input("Observation month (t1)", 1, 12, d["month"])
         year_t2 = st.number_input("Target year (t2)", 2017, 2035, 2025)
-        month_t2 = st.number_input("Target month (t2)", 1, 12, 7)
+        month_t2 = st.number_input("Target month (t2)", 1, 12, d["month"])
 
         ckpts = sorted(glob.glob(os.path.join(args.models_dir, "*.pth"))
-                       + [d for d in glob.glob(os.path.join(args.models_dir, "*"))
-                          if os.path.isdir(d)])
+                       + [c for c in glob.glob(os.path.join(args.models_dir, "*"))
+                          if os.path.isdir(c)])
         if not ckpts:
             st.error(f"No checkpoints found in {args.models_dir}")
             st.stop()
         ckpt = st.selectbox("Model checkpoint", ckpts)
-
-        use_live = st.checkbox("Fetch live satellite data (needs GEE)", False)
 
     @st.cache_resource
     def get_engine(path: str) -> PlannerEngine:
@@ -77,32 +101,30 @@ def main() -> None:
 
     # --- Fetch layers (reference Home.py:182-278) ---
     if st.button("Fetch Satellite Data") or "layers" not in st.session_state:
-        from maunet_tpu.apps.gee_fetch import get_satellite_data, load_cached_layers
-
         try:
-            if use_live:
+            if data_mode.mode == "live":
+                from maunet_tpu.apps.gee_fetch import get_satellite_data
+
                 st.session_state.layers = get_satellite_data(
                     lat, lon, int(year_t1), int(month_t1), args.cache_dir,
                     args.img_size)
             else:
+                from maunet_tpu.apps.gee_fetch import load_cached_layers
+
                 st.session_state.layers = load_cached_layers(
                     args.cache_dir, args.img_size)
         except Exception as e:
-            st.warning(f"Could not load satellite layers: {e}")
-            st.stop()
+            st.warning(f"Could not load satellite layers ({e}); using the "
+                       "bundled demo tiles.")
+            st.session_state.layers = load_demo_layers(args.img_size)
 
     layers = st.session_state.layers
-    cols = st.columns(4)
-    cols[0].image(dw_to_rgb(layers["dw"]), caption="Land cover (t1)")
-    cols[1].image(np.clip(layers["rgb"].transpose(1, 2, 0) / 255, 0, 1),
-                  caption="RGB (t1)")
-    cols[2].image(np.clip((layers["ndvi"] + 1) / 2, 0, 1), caption="NDVI (t1)")
-    temp = layers["temp"]
-    cols[3].image(np.clip((temp - temp.min()) / (temp.ptp() + 1e-9), 0, 1),
-                  caption="LST °C (t1)")
+    for col, (img, caption) in zip(st.columns(4), layer_views(layers)):
+        col.image(img, caption=caption)
 
-    # --- Drawable canvas (reference Home.py:280-328) ---
-    st.subheader("Paint your land-cover change")
+    # --- Drawable canvas over the DW map (reference Home.py:280-328) ---
+    st.header("Design Future Scenario")
+    st.markdown("Paint your land-cover change directly on the map.")
     canvas_rgba = None
     try:
         from streamlit_drawable_canvas import st_canvas
@@ -115,8 +137,10 @@ def main() -> None:
             fill_color=CANVAS_PALETTE[brush] + "AA",
             stroke_color=CANVAS_PALETTE[brush],
             stroke_width=st.slider("Brush size", 2, 60, 20),
-            background_image=None,
-            height=512, width=512, drawing_mode="freedraw", key="canvas")
+            background_image=canvas_background(layers["dw"]),
+            update_streamlit=True,
+            height=args.img_size, width=args.img_size,
+            drawing_mode="freedraw", key="canvas")
         if canvas is not None and canvas.image_data is not None:
             canvas_rgba = canvas.image_data
     except ImportError:
@@ -125,24 +149,20 @@ def main() -> None:
 
     # --- Predict (reference Home.py:330-416) ---
     if st.button("Run Prediction", type="primary"):
-        inp_base = engine.prepare_input(layers, None, lat, lon, population,
-                                        year_t1, month_t1, year_t2, month_t2)
-        ndvi_base, lst_base = engine.predict(inp_base)
-        inp_mod = engine.prepare_input(layers, canvas_rgba, lat, lon, population,
-                                       year_t1, month_t1, year_t2, month_t2)
-        ndvi_mod, lst_mod = engine.predict(inp_mod)
+        with st.spinner("Running inference..."):
+            inp_base = engine.prepare_input(layers, None, lat, lon, population,
+                                            year_t1, month_t1, year_t2, month_t2)
+            _, lst_base = engine.predict(inp_base)
+            inp_mod = engine.prepare_input(layers, canvas_rgba, lat, lon,
+                                           population, year_t1, month_t1,
+                                           year_t2, month_t2)
+            ndvi_mod, lst_mod = engine.predict(inp_mod)
 
-        c1, c2, c3 = st.columns(3)
-        c1.image(np.clip((ndvi_mod + 1) / 2, 0, 1), caption="Predicted NDVI (t2)")
-        lo, hi = lst_mod.min(), lst_mod.max()
-        c2.image(np.clip((lst_mod - lo) / (hi - lo + 1e-9), 0, 1),
-                 caption=f"Predicted LST °C (t2) [{lo:.1f}, {hi:.1f}]")
-        delta = lst_mod - lst_base
-        dmax = max(abs(delta).max(), 1e-9)
-        c3.image(np.clip((delta / dmax + 1) / 2, 0, 1),
-                 caption="ΔLST vs no-change baseline")
+        views, delta_mean = prediction_views(ndvi_mod, lst_mod, lst_base)
+        for col, (img, caption) in zip(st.columns(3), views):
+            col.image(img, caption=caption)
         st.metric("Mean temperature change of your plan",
-                  f"{engine.cooling_metric(lst_base, lst_mod):+.2f} °C")
+                  f"{delta_mean:+.2f} °C")
 
 
 if __name__ == "__main__":

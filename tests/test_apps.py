@@ -85,3 +85,76 @@ def test_planner_engine_end_to_end(tmp_path, rng):
     assert np.isfinite(metric)
     # DW t2 channels now one-hot trees everywhere
     assert (inp2.maps[0, :, :, 14 + 1] == 1).all()
+
+
+def test_planner_core_data_mode_flow():
+    """Credential-entry flow (reference app/Home.py:50-126): live only with
+    project + (service account or key file); otherwise cache-only pinned to
+    the bundled demo location."""
+    from maunet_tpu.apps.planner_core import DEMO_LOCATION, resolve_data_mode
+
+    assert resolve_data_mode("proj", "sa@x.iam").mode == "live"
+    assert resolve_data_mode("proj", "", key_file_exists=True).mode == "live"
+    for bad in (("", ""), ("proj", ""), ("", "sa@x.iam"), (None, None)):
+        mode = resolve_data_mode(*bad)
+        assert mode.mode == "cache"
+        assert mode.defaults["lat"] == DEMO_LOCATION["lat"]
+        assert "cache-only" in mode.reason
+
+
+def test_planner_core_demo_cache_and_background():
+    """The committed demo tiles load at serving resolution and colorize into
+    the canvas paint background (reference app/Home.py:284-297: the canvas
+    paints over the DW composite, not a blank image)."""
+    import os
+
+    from PIL import Image
+
+    from maunet_tpu.apps.planner_core import (
+        DEMO_CACHE,
+        canvas_background,
+        layer_views,
+        load_demo_layers,
+    )
+
+    assert os.path.exists(DEMO_CACHE), "demo tiles must be committed"
+    layers = load_demo_layers(256)
+    assert layers["dw"].shape == (256, 256)
+    assert layers["rgb"].shape == (3, 256, 256)
+    assert set(np.unique(layers["dw"])) <= set(range(9))
+
+    bg = canvas_background(layers["dw"])
+    assert isinstance(bg, Image.Image)
+    assert bg.mode == "RGBA" and bg.size == (256, 256)
+    # not blank: multiple distinct land-cover colors visible
+    assert len(set(bg.convert("RGB").getdata())) >= 3
+
+    views = layer_views(layers)
+    assert len(views) == 4
+    for img, caption in views:
+        assert np.all(np.isfinite(img)) and img.max() <= 255
+        assert caption
+
+
+def test_planner_core_prediction_views():
+    from maunet_tpu.apps.planner_core import prediction_views
+
+    rng = np.random.default_rng(0)
+    ndvi = np.clip(rng.normal(0.3, 0.2, (64, 64)), -1, 1)
+    lst_base = rng.normal(30, 3, (64, 64))
+    lst_mod = lst_base - 1.5  # uniform cooling
+    views, delta_mean = prediction_views(ndvi, lst_mod, lst_base)
+    assert len(views) == 3
+    assert delta_mean == pytest.approx(-1.5)
+    for img, _ in views:
+        assert img.min() >= 0 and img.max() <= 1
+
+
+def test_cached_layers_fall_back_to_bundled_demo(tmp_path):
+    """With an empty cache dir, the loader serves the committed demo tiles
+    (the reference's cache-only mode needs its bundled Rome tiles)."""
+    from maunet_tpu.apps.gee_fetch import load_cached_layers
+
+    layers = load_cached_layers(str(tmp_path / "empty"), img_size=128)
+    assert layers["dw"].shape == (128, 128)
+    assert layers["temp"].mean() > 15  # °C-scale demo LST, not noise
