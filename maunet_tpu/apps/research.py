@@ -48,7 +48,24 @@ def page_model_browser(st, args):
     n = sum(int(x.size) for x in jax.tree_util.tree_leaves(
         loaded.variables["params"]))
     st.metric("Parameters", f"{n:,}")
-    st.text(architecture_diagram(hp))
+    from maunet_tpu.analysis.figures import plot_architecture_diagram
+
+    st.pyplot(plot_architecture_diagram(hp))
+    with st.expander("Text diagram"):
+        st.text(architecture_diagram(hp))
+
+    if args.data_dir and st.button("Predict a test sample (zoomed quadrants)"):
+        from maunet_tpu.analysis.figures import plot_zoomed_views
+        from maunet_tpu.data.dataset import NpzDataset, make_batches
+        from maunet_tpu.evaluate.evaluator import predict_batch
+
+        ds = NpzDataset(os.path.join(args.data_dir, "test"))
+        batch = next(make_batches(ds, 1))
+        preds = predict_batch(loaded, batch)
+        for ch_idx, ch in enumerate(("NDVI", "LST")):
+            st.pyplot(plot_zoomed_views(
+                batch.targets[0, :, :, ch_idx], preds[0, :, :, ch_idx],
+                ch, error=True))
 
 
 def architecture_diagram(hp: dict) -> str:
@@ -129,6 +146,21 @@ def page_statistics(st, args):
     st.subheader("Wilcoxon / Mann-Whitney / Pearson")
     st.dataframe(nonparametric_tests(paths, chosen))
 
+    from maunet_tpu.analysis.figures import (
+        error_correlation_matrix,
+        significance_matrix,
+    )
+
+    channel = st.selectbox(
+        "Channel", sorted(pd.read_csv(paths[0])["channel"].unique()))
+    metric = st.radio("Metric", ["mae", "rmse"], horizontal=True)
+    st.subheader("Pairwise significance matrix (Wilcoxon)")
+    _, fig = significance_matrix(paths, chosen, channel, metric)
+    st.pyplot(fig)
+    st.subheader("Sample-wise error correlation")
+    _, fig = error_correlation_matrix(paths, chosen, channel, metric)
+    st.pyplot(fig)
+
 
 def page_dataset(st, args):
     st.header("Dataset geo-distribution")
@@ -147,6 +179,9 @@ def page_dataset(st, args):
             info = ds.get_metadata_from_idx(i)
             rows.append({**info, "split": split})
     df = pd.DataFrame(rows)
+    from maunet_tpu.analysis.figures import plot_dataset_geomap
+
+    st.pyplot(plot_dataset_geomap(df))
     st.map(df.rename(columns={"lat": "latitude", "lon": "longitude"}))
     st.dataframe(df.groupby(["split", "city"]).size().rename("samples"))
 

@@ -75,6 +75,17 @@ def load_any_checkpoint(path: str, study_name: str = "",
     return LoadedModel(model, variables, hyperparams, meta)
 
 
+def predict_batch(loaded: LoadedModel, batch) -> np.ndarray:
+    """Run one host Batch through a loaded checkpoint → (B, H, W, 2) numpy
+    predictions (used by the research app's zoomed-quadrant views)."""
+    from maunet_tpu.train.steps import make_forward_fn
+
+    metadata_features = int(loaded.hyperparams.get(
+        "metadata_input_length", loaded.meta.get("metadata_input_length", 8)))
+    forward = make_forward_fn(loaded.model, metadata_features)
+    return np.asarray(forward(loaded.variables, batch.as_dict()))
+
+
 def known_cities_from_train_dir(train_dir: str) -> set[str]:
     """Cities appearing in the train split, parsed from filenames
     (reference test/evaluate.py:66-79)."""

@@ -267,3 +267,85 @@ def test_cli_synth_and_stats(tmp_path, rng):
     assert main(["stats", csv1, "--output-dir", str(tmp_path / "r1")]) == 0
     assert main(["stats", csv1, csv2, "--output-dir", str(tmp_path / "r2")]) == 0
     assert os.path.exists(tmp_path / "r2" / "comparative_ttests.csv")
+
+
+def test_research_figures_from_synthetic_csvs(tmp_path, rng):
+    """Research-app figure machinery renders from synthetic evaluation CSVs
+    (reference app_dev/pages/3_Statistical_Comparison.py:326-396,
+    app_src/utils.py:105-271, pages/3_Dataset.py)."""
+    import matplotlib.pyplot as plt
+
+    from maunet_tpu.analysis.figures import (
+        error_correlation_matrix,
+        plot_architecture_diagram,
+        plot_dataset_geomap,
+        plot_zoomed_comparison,
+        plot_zoomed_views,
+        significance_matrix,
+    )
+
+    csv1 = str(tmp_path / "a_evaluation.csv")
+    csv2 = str(tmp_path / "b_evaluation.csv")
+    df_a = _fake_eval_df(rng)
+    df_b = df_a.copy()  # same per-sample errors + a constant 0.5 offset:
+    df_b["mae"] += 0.5  # clearly worse AND sample-wise correlated with a
+    df_b["rmse"] += 0.5
+    df_a.to_csv(csv1, index=False)
+    df_b.to_csv(csv2, index=False)
+
+    p, fig = significance_matrix([csv1, csv2], ["a", "b"], "after_temp")
+    fig.savefig(str(tmp_path / "sig.png"))
+    plt.close(fig)
+    assert np.isnan(p.loc["a", "a"])
+    assert p.loc["a", "b"] < 0.05  # 0.5°C uniform offset is significant
+    assert p.loc["a", "b"] == p.loc["b", "a"]
+
+    corr, fig = error_correlation_matrix([csv1, csv2], ["a", "b"], "after_temp")
+    plt.close(fig)
+    assert corr.loc["a", "a"] == pytest.approx(1.0)
+    # b = a + constant offset + tiny noise → strongly correlated errors
+    assert corr.loc["a", "b"] > 0.5
+
+    gt = rng.normal(30, 3, (64, 64))
+    pred = gt + rng.normal(0, 0.5, (64, 64))
+    for fig in (plot_zoomed_views(gt, pred, "LST"),
+                plot_zoomed_views(gt, pred, "LST", error=True),
+                plot_zoomed_comparison(gt, [pred, pred * 1.01],
+                                       ["model-a", "model-b"], "LST")):
+        assert len(fig.axes) >= 8
+        plt.close(fig)
+
+    geo = pd.DataFrame({
+        "city": ["rome", "rome", "oslo", "lima"],
+        "lat": [41.9, 41.9, 59.9, -12.0],
+        "lon": [12.5, 12.5, 10.8, -77.0],
+        "split": ["train", "train", "val", "test"],
+    })
+    fig = plot_dataset_geomap(geo)
+    assert "3 cities" in fig.axes[0].get_title()
+    plt.close(fig)
+
+    for hp in ({"model_type": "unet", "base_filters": 64},
+               {"model_type": "unet++", "base_filters": 32,
+                "temporal_embeddings": False}):
+        fig = plot_architecture_diagram(hp)
+        assert hp["model_type"] in fig.axes[0].get_title()
+        plt.close(fig)
+
+
+def test_predict_batch_shapes(synthetic_root, tmp_path):
+    """predict_batch (research-app zoomed views) returns NHWC predictions."""
+    from maunet_tpu.data.dataset import NpzDataset, make_batches
+    from maunet_tpu.evaluate.evaluator import load_any_checkpoint, predict_batch
+
+    ckpt = make_reference_checkpoint(
+        str(tmp_path / "m.pth"), base_filters=2, temporal_dim=2, meta_dim=2,
+        lstm_dim=4) if reference_available() else None
+    if ckpt is None:
+        pytest.skip("reference unavailable")
+    loaded = load_any_checkpoint(ckpt, compute_dtype=np.float32)
+    ds = NpzDataset(f"{synthetic_root}/test", temporal_length=64)
+    batch = next(make_batches(ds, 2))
+    preds = predict_batch(loaded, batch)
+    assert preds.shape == (2, 32, 32, 2)
+    assert np.isfinite(preds).all()
