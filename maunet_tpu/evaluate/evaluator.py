@@ -195,6 +195,7 @@ def evaluate_checkpoint(
                 "time_delta": t2y - t1y,
                 **info,
             }
+            first_row = len(results)  # this sample's rows start here
             for c, ch_name in enumerate(channels):
                 results.append({
                     "sample_idx": sample_idx, "channel": ch_name,
@@ -223,8 +224,7 @@ def evaluate_checkpoint(
                 plot_evaluation_sample(
                     np.asarray(batch["maps"][i]),
                     np.asarray(targets_un[i]), np.asarray(outputs_un[i]),
-                    pd.DataFrame([r for r in results
-                                  if r["sample_idx"] == sample_idx]),
+                    pd.DataFrame(results[first_row:]),
                     channels, stats, info, study_name, trial_id, sample_idx,
                     os.path.join(output_dir, "visualizations"))
                 created_visuals += 1
