@@ -8,8 +8,11 @@ Prints exactly ONE JSON line:
 - Baseline: the actual reference PyTorch model (imported read-only from
   /root/reference with a loguru stub) on CPU — the reference publishes no
   throughput numbers (BASELINE.md), so the baseline is measured here.
-- TPU timing forces a host copy per measurement to fully drain the device
-  pipeline (block_until_ready alone under-reports through the axon relay).
+- TPU timing drains the device pipeline with a data-dependent on-device
+  reduction fetched as ONE scalar.  A full-output host copy (the previous
+  approach) moves 4 MB through the relay tunnel per window — a fixed
+  ~100-300 ms cost that under-reported round-1 throughput by ~25%
+  (docs/TRACE.md); block_until_ready alone under-reports the other way.
 """
 
 from __future__ import annotations
@@ -86,7 +89,13 @@ def measure_tpu() -> float:
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), maps, series, meta, lengths)
     fwd = jax.jit(lambda v, *a: model.apply(v, *a))
-    np.asarray(fwd(variables, maps, series, meta, lengths))  # compile + sync
+
+    def sync(out):
+        # Data-dependent scalar: forces every queued step to execute while
+        # moving 4 bytes (not 4 MB) back through the relay.
+        return float(jnp.sum(out.astype(jnp.float32)))
+
+    sync(fwd(variables, maps, series, meta, lengths))  # compile + sync
 
     best = 0.0
     for _ in range(3):
@@ -94,7 +103,7 @@ def measure_tpu() -> float:
         out = None
         for _ in range(TPU_ITERS):
             out = fwd(variables, maps, series, meta, lengths)
-        np.asarray(out)  # drain pipeline via host copy
+        sync(out)
         dt = (time.time() - t0) / TPU_ITERS
         best = max(best, BATCH_TPU / dt)
     return best

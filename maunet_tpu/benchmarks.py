@@ -9,9 +9,10 @@ Suites:
 - eval: on-device evaluation metrics, pallas vs xla class reductions
 - loader: host .npz decode — numpy vs native C++ vs packed shards
 
-All device timings force a host copy to drain the pipeline
-(block_until_ready under-reports through the axon relay — see
-.claude/skills/verify/SKILL.md).
+All device timings drain the pipeline with a data-dependent on-device
+reduction fetched as one scalar: block_until_ready under-reports through
+the axon relay, and a full-output host copy over-reports (multi-MB tunnel
+transfer inside the timing window — see docs/TRACE.md).
 """
 
 from __future__ import annotations
@@ -29,6 +30,15 @@ def _record(name: str, value: float, unit: str, **extra) -> None:
     row = {"metric": name, "value": round(value, 3), "unit": unit, **extra}
     RESULTS.append(row)
     print(json.dumps(row), flush=True)
+
+
+def _drain(out) -> float:
+    """Force execution of everything ``out`` depends on, fetching 4 bytes."""
+    import jax.numpy as jnp
+
+    if isinstance(out, (tuple, list)):
+        out = out[0]
+    return float(jnp.sum(out.astype(jnp.float32)))
 
 
 def _time_device(fn, sync, iters=20, repeats=3) -> float:
@@ -67,7 +77,7 @@ def bench_inference(rng) -> None:
     fwd = jax.jit(lambda v, *a: model.apply(v, *a))
     for b in (1, 8, 16):
         args = _model_inputs(rng, b)
-        dt = _time_device(lambda: fwd(variables, *args), np.asarray)
+        dt = _time_device(lambda: fwd(variables, *args), _drain, iters=40)
         _record(f"inference_unet64_256px_b{b}", b / dt, "tiles/sec/chip",
                 ms_per_batch=round(dt * 1000, 2))
 
@@ -78,7 +88,7 @@ def bench_inference(rng) -> None:
     args = _model_inputs(rng, 8)
     variables = jax.jit(pp.init)(jax.random.PRNGKey(0), *args)
     fwd_pp = jax.jit(lambda v, *a: pp.apply(v, *a))
-    dt = _time_device(lambda: fwd_pp(variables, *args), np.asarray)
+    dt = _time_device(lambda: fwd_pp(variables, *args), _drain, iters=40)
     _record("inference_unetpp32_256px_b8", 8 / dt, "tiles/sec/chip",
             ms_per_batch=round(dt * 1000, 2))
 
@@ -136,7 +146,7 @@ def bench_lstm(rng) -> None:
         fn = jax.jit(lambda v, s, l: enc.apply(v, s, l))
         for b in (8, 1):
             s, ln = series[:b], lengths[:b]
-            dt = _time_device(lambda: fn(variables, s, ln), np.asarray, iters=50)
+            dt = _time_device(lambda: fn(variables, s, ln), _drain, iters=50)
             _record(f"lstm828_{backend}_b{b}", dt * 1000, "ms")
 
 

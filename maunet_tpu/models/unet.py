@@ -17,7 +17,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from maunet_tpu.models.blocks import VGGBlock, broadcast_embeddings, max_pool_2x2
+from maunet_tpu.models.blocks import VGGBlock, max_pool_2x2
 from maunet_tpu.models.encoders import MetadataEncoder, TemporalEncoder
 from maunet_tpu.ops.resize import upsample_like
 
@@ -65,37 +65,42 @@ class MetaUNet(nn.Module):
         x3_0 = vgg("conv3_0", nb[3], nb[3])(max_pool_2x2(x2_0), train)
 
         # Bottleneck with optional embedding fusion (reference :273-276).
+        # Embeddings enter as (B, 1, 1, D) — VGGBlock/SplitConv convolve the
+        # broadcast channels in closed form (see blocks._const_conv).
         x4_0 = max_pool_2x2(x3_0)
         fused = [x4_0]
-        h, w = x4_0.shape[1], x4_0.shape[2]
         if self.temporal_embeddings:
             temb = TemporalEncoder(
                 self.lstm_dim, self.temporal_dim, mask_mode=self.lstm_mask_mode,
                 compute_dtype=cd, name="temporal_encoder",
             )(temp_series, temp_lengths)
-            fused.append(broadcast_embeddings(temb, h, w))
+            fused.append(temb[:, None, None, :])
         if self.metadata_embeddings:
             memb = MetadataEncoder(self.meta_dim, compute_dtype=cd,
                                    name="meta_encoder")(metadata.astype(jnp.float32))
-            fused.append(broadcast_embeddings(memb, h, w))
-        x4_0 = jnp.concatenate(fused, axis=-1) if len(fused) > 1 else x4_0
-        x4_0 = vgg("conv4_0", nb[4], nb[4])(x4_0, train)
+            fused.append(memb[:, None, None, :])
+        x4_0 = vgg("conv4_0", nb[4], nb[4])(fused, train)
 
-        # Decoder path: scale-2 upsample + exact-size match + skip concat
-        # (reference :279-282 — note the *double* interpolation for odd sizes).
+        # Decoder path: scale-2 upsample + exact-size match, skip "concat"
+        # passed as parts — the first conv of each block convolves skip and
+        # upsample separately (same math, no concat materialization; see
+        # blocks.SplitConv).  Reference :279-282 — note the *double*
+        # interpolation for odd sizes.
         def up_cat(deep, skip):
             u = upsample_like(deep, skip.shape[1:3], pre_scale=2)
-            return jnp.concatenate([skip, u.astype(cd)], axis=-1)
+            return [skip, u.astype(cd)]
 
         x3_1 = vgg("conv3_1", nb[3], nb[3])(up_cat(x4_0, x3_0), train)
         x2_1 = vgg("conv2_1", nb[2], nb[2])(up_cat(x3_1, x2_0), train)
         x1_1 = vgg("conv1_1", nb[1], nb[1])(up_cat(x2_1, x1_0), train)
         x0_1 = vgg("conv0_1", nb[0], nb[0])(up_cat(x1_1, x0_0), train)
 
+        # Head runs in compute_dtype (the f32 input materialization was a
+        # measurable HBM cost at 512² — docs/TRACE.md); activation in f32.
         output = nn.Conv(
             self.out_channels, kernel_size=(1, 1), name="final",
-            dtype=jnp.float32, param_dtype=jnp.float32,
-        )(x0_1.astype(jnp.float32))
+            dtype=cd, param_dtype=jnp.float32,
+        )(x0_1).astype(jnp.float32)
 
         # Per-channel activation: tanh on NDVI (ch 0), identity on LST —
         # only for 2-channel outputs (reference :286-291).

@@ -18,7 +18,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from maunet_tpu.models.blocks import VGGBlock, broadcast_embeddings, max_pool_2x2
+from maunet_tpu.models.blocks import VGGBlock, max_pool_2x2
 from maunet_tpu.models.encoders import MetadataEncoder, TemporalEncoder
 from maunet_tpu.ops.resize import upsample_like
 
@@ -55,8 +55,12 @@ class MetaUNetPP(nn.Module):
         # control flow inside the block)
         block_cls = (nn.remat(VGGBlock, static_argnums=(2,))
                      if self.remat else VGGBlock)
+        # group_spatial: at 32 base filters, per-part convs under-fill the
+        # MXU lanes 4x — pack the same-resolution skip tensors into one
+        # dense conv and keep only the embedding part in closed form.
         vgg = lambda name, mid, out: block_cls(mid, out, compute_dtype=cd,
-                                               bn_fused=self.bn_fused, name=name)
+                                               bn_fused=self.bn_fused,
+                                               group_spatial=True, name=name)
 
         maps = maps.astype(cd)
 
@@ -74,12 +78,16 @@ class MetaUNetPP(nn.Module):
         emb = jnp.concatenate(embs, axis=-1) if embs else None
 
         def node(name, mid, out, parts, target_hw):
-            """Decoder node: concat skip tensors + resized deep tensor +
-            broadcast embedding map, then VGGBlock (reference :136-177)."""
+            """Decoder node: skip tensors + resized deep tensor + broadcast
+            embedding map, then VGGBlock (reference :136-177).  Parts stay
+            unconcatenated — SplitConv convolves each separately, and the
+            (B, 1, 1, D) embedding part is folded in closed form (the
+            embedding map is 40-57% of node input channels at full
+            resolution; see blocks.py)."""
             pieces = list(parts)
             if emb is not None:
-                pieces.append(broadcast_embeddings(emb, *target_hw))
-            return vgg(name, mid, out)(jnp.concatenate(pieces, axis=-1), train)
+                pieces.append(emb[:, None, None, :])
+            return vgg(name, mid, out)(pieces, train)
 
         def up(x, ref):
             # U-Net++ resizes straight to the target size (single resize,
@@ -110,17 +118,19 @@ class MetaUNetPP(nn.Module):
         x0_4 = node("conv0_4", nb[0], nb[0],
                     [x0_0, x0_1, x0_2, x0_3, up(x1_3, x0_0)], hw0)
 
-        conv_kw = dict(kernel_size=(1, 1), dtype=jnp.float32, param_dtype=jnp.float32)
+        # Heads run in compute_dtype (f32 input materialization at full tile
+        # resolution is pure HBM cost — docs/TRACE.md); activations in f32.
+        conv_kw = dict(kernel_size=(1, 1), dtype=cd, param_dtype=jnp.float32)
         if self.deep_supervision:
             # Four raw heads, no output activation (reference :180-185).
             return tuple(
                 nn.Conv(self.out_channels, name=f"final{i}", **conv_kw)(
-                    x.astype(jnp.float32))
+                    x).astype(jnp.float32)
                 for i, x in enumerate((x0_1, x0_2, x0_3, x0_4), start=1)
             )
 
         output = nn.Conv(self.out_channels, name="final", **conv_kw)(
-            x0_4.astype(jnp.float32))
+            x0_4).astype(jnp.float32)
         if self.out_channels == 2:
             output = jnp.concatenate(
                 [jnp.tanh(output[..., 0:1]), output[..., 1:2]], axis=-1

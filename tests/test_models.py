@@ -125,3 +125,28 @@ def test_grads_flow(rng):
     norms = [float(jnp.linalg.norm(g)) for g in jax.tree_util.tree_leaves(grads)]
     assert all(np.isfinite(n) for n in norms)
     assert sum(norms) > 0
+
+
+@pytest.mark.parametrize("hw", [(9, 11), (3, 3), (2, 5), (1, 1)])
+def test_split_conv_matches_concat_conv(rng, hw):
+    """SplitConv over [spatial, spatial, broadcast] parts == one conv over
+    the explicit channel concat (incl. zero-pad border closed form)."""
+    from maunet_tpu.models.blocks import SplitConv, broadcast_embeddings
+
+    h, w = hw
+    b, f = 2, 7
+    a1 = jnp.asarray(rng.normal(size=(b, h, w, 5)), jnp.float32)
+    a2 = jnp.asarray(rng.normal(size=(b, h, w, 3)), jnp.float32)
+    e = jnp.asarray(rng.normal(size=(b, 4)), jnp.float32)
+
+    conv = SplitConv(f, compute_dtype=jnp.float32)
+    variables = conv.init(jax.random.PRNGKey(1), [a1, a2, e[:, None, None, :]])
+    out = conv.apply(variables, [a1, a2, e[:, None, None, :]])
+
+    full = jnp.concatenate([a1, a2, broadcast_embeddings(e, h, w)], axis=-1)
+    import flax.linen as nn
+    ref = nn.Conv(f, kernel_size=(3, 3), padding="SAME", dtype=jnp.float32,
+                  param_dtype=jnp.float32)
+    ref_out = ref.apply({"params": variables["params"]}, full)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-5, rtol=1e-5)
