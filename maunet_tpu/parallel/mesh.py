@@ -45,6 +45,47 @@ def make_mesh(
     return Mesh(grid, (data_axis, spatial_axis))
 
 
+# Encoder downsampling factor of both models (4 pooling levels): the
+# bottleneck feature map is H / 16.
+MODEL_DOWNSAMPLE = 16
+
+
+def validate_spatial_sharding(mesh: Mesh, tile_h: int,
+                              downsample: int = MODEL_DOWNSAMPLE) -> None:
+    """Require the *bottleneck* feature-map height to divide evenly over the
+    spatial mesh axis.
+
+    XLA's SPMD partitioner handles SAME-padding convs over a sharded spatial
+    axis with halo exchanges, but degenerate shardings of the bottleneck
+    feature map silently miscompile (verified against single-device numerics,
+    jax 0.9.0):
+
+    - uneven shards (H=2 propagated over a 4-way spatial axis) diverge
+      grossly (max err ~3.7 on O(1) activations);
+    - an H=2 map sharded 2-way, combined with a data-sharded batch and a
+      conv kernel produced by ``lax.slice_in_dim`` (the SplitConv part
+      kernels, models/blocks.py), diverges grossly (max err ~13) even
+      though each shard is an even single row — H>=4 is exact in every
+      mesh/slice combination tested, including single-row shards.
+
+    Real tiles (256/512 px -> bottleneck 16/32) give every spatial shard
+    >= 2 rows on any sane axis size; this guard turns the miscompiling
+    configurations into a loud error instead of silent wrong numbers.
+    """
+    spatial_axis = mesh.axis_names[1]
+    spatial = mesh.shape[spatial_axis]
+    if spatial <= 1:
+        return
+    bottleneck = max(tile_h // downsample, 1)
+    if bottleneck % spatial or bottleneck // spatial < 2:
+        raise ValueError(
+            f"spatial sharding over {spatial} devices requires the bottleneck "
+            f"feature-map height (tile {tile_h} / {downsample} = {bottleneck}) "
+            f"to divide into shards of >= 2 rows; smaller shards miscompile "
+            f"SAME-conv halo exchanges under GSPMD (see "
+            f"parallel/mesh.validate_spatial_sharding)")
+
+
 def batch_pspec(mesh: Mesh, ndim: int, shard_spatial: bool = False) -> P:
     """PartitionSpec for a batch-major array: axis 0 over data, and (for
     NHWC image tensors) axis 1 over spatial when requested."""
@@ -66,6 +107,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_shardings_for(mesh: Mesh, batch: dict, shard_spatial: bool = False) -> dict:
     """NamedSharding per Batch field (dict input from Batch.as_dict())."""
     image_keys = {"maps", "targets"}
+    if shard_spatial and "maps" in batch:
+        validate_spatial_sharding(mesh, batch["maps"].shape[1])
     out = {}
     for k, v in batch.items():
         nd = getattr(v, "ndim", 0)

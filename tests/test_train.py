@@ -175,29 +175,57 @@ def test_deep_supervision_training(synthetic_root):
     assert np.isfinite(out["total"])
 
 
-def test_spatial_sharding_matches_single_device(synthetic_root):
-    """Forward pass with the image H axis sharded over the 'spatial' mesh
-    axis must match unsharded numerics (XLA inserts conv halo exchanges and
-    gathers for the resize matmuls)."""
+def test_spatial_sharding_matches_single_device(tmp_path):
+    """Forward AND gradient with the image H axis sharded over the 'spatial'
+    mesh axis must match unsharded numerics (XLA inserts conv halo exchanges
+    and gathers for the resize matmuls).
+
+    64-px tiles -> bottleneck H=4 over spatial=2: every spatial shard has
+    >= 2 rows, the smallest configuration GSPMD compiles correctly (see
+    parallel/mesh.validate_spatial_sharding).  Degenerate shardings are
+    rejected loudly (tested below)."""
+    root = generate_dataset(str(tmp_path / "synth64"), {"train": 4},
+                            hw=64, temporal_len=64)
     model = UrbanPredictor("unet", base_filters=4, temporal_dim=4, meta_dim=4,
                            lstm_dim=8, compute_dtype=jnp.float32)
-    ds = NpzDataset(f"{synthetic_root}/train", temporal_length=64)
-    batch = next(make_batches(ds, 2)).as_dict()
+    ds = NpzDataset(f"{root}/train", temporal_length=64)
+    batch = next(make_batches(ds, 4)).as_dict()
     opt = make_optimizer("sgd", 1e-2, momentum=0.0)
     state = create_train_state(model, opt, jax.random.PRNGKey(0), batch)
 
-    fwd = jax.jit(lambda v, b: model.apply(
-        v, b["maps"], b["temp_series"],
-        jnp.concatenate([b["metadata"], b["t1_dates"], b["t2_dates"]], axis=1),
-        b["temp_lengths"]))
-    out_single = np.asarray(fwd(state.variables, jax.device_put(batch)))
+    def fwd_loss(v, b):
+        out = model.apply(
+            v, b["maps"], b["temp_series"],
+            jnp.concatenate([b["metadata"], b["t1_dates"], b["t2_dates"]], axis=1),
+            b["temp_lengths"])
+        return jnp.sum(out ** 2), out
 
-    mesh = make_mesh(data_parallel=2, spatial_parallel=4)
+    vg = jax.jit(lambda v, b: (
+        fwd_loss(v, b)[1],
+        jax.grad(lambda p: fwd_loss({**v, "params": p}, b)[0])(v["params"])))
+    out_single, grad_single = jax.device_get(
+        vg(state.variables, jax.device_put(batch)))
+
+    mesh = make_mesh(data_parallel=4, spatial_parallel=2)
     shardings = batch_shardings_for(mesh, batch, shard_spatial=True)
     batch_sharded = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
     vars_repl = jax.device_put(state.variables, replicated(mesh))
-    out_sharded = np.asarray(fwd(vars_repl, batch_sharded))
+    out_sharded, grad_sharded = jax.device_get(vg(vars_repl, batch_sharded))
     np.testing.assert_allclose(out_single, out_sharded, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grad_single),
+                    jax.tree_util.tree_leaves(grad_sharded)):
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(a, b, atol=2e-4 * scale)
+
+    # Bottleneck shards under 2 rows (here: 32-px tile -> H=2 over
+    # spatial=2/4, even or not) silently miscompile SAME convs with sliced
+    # kernels under GSPMD; the sharding layer must reject them loudly.
+    small = {k: (v[:, ::2] if k in ("maps", "targets") else v)
+             for k, v in batch.items()}
+    for dp, sp in ((2, 4), (4, 2)):
+        bad_mesh = make_mesh(data_parallel=dp, spatial_parallel=sp)
+        with pytest.raises(ValueError, match="shards of >= 2 rows"):
+            batch_shardings_for(bad_mesh, small, shard_spatial=True)
 
 
 def test_eval_step_masks_padding(synthetic_root):
