@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from maunet_tpu.ops.packed_conv import pack_factor, packed_conv
+
 Parts = Union[jnp.ndarray, Sequence[jnp.ndarray]]
 
 
@@ -86,6 +88,9 @@ class SplitConv(nn.Module):
     # small convs pay fixed pipeline overhead); wrong for the classic U-Net
     # decoder, where 2-way splitting avoids the skip/upsample layout copy.
     group_spatial: bool = False
+    # Lane-pack adjacent output columns when features < 128
+    # (ops/packed_conv.py): s x MXU lane fill for (s+2)/3 x FLOPs.
+    pack: bool = False
 
     @nn.compact
     def __call__(self, parts: Sequence[jnp.ndarray]) -> jnp.ndarray:
@@ -133,13 +138,30 @@ class SplitConv(nn.Module):
                 # One f32 accumulation inside the MXU, rounded once to
                 # compute_dtype per part (bf16 partial sums keep HBM writes
                 # at bf16 width; in f32 mode this is exact).
-                y = jax.lax.conv_general_dilated(
-                    p.astype(cd), w.astype(cd),
-                    window_strides=(1, 1), padding="SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
+                s = (pack_factor(self.features, p.shape[2], min_s=4)
+                     if self.pack else 1)
+                y = packed_conv(p.astype(cd), w.astype(cd), s)
             out = y if out is None else out + y
         return out + bias.astype(out.dtype)
+
+
+class PackedConv3x3(nn.Module):
+    """3x3 SAME conv with lane packing; parameter pytree ({kernel, bias})
+    and initializers identical to ``nn.Conv`` so it is a drop-in swap."""
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        cd = self.compute_dtype
+        s = pack_factor(self.features, x.shape[2], min_s=4)
+        y = packed_conv(x.astype(cd), kernel.astype(cd), s)
+        return y + bias.astype(y.dtype)
 
 
 class VGGBlock(nn.Module):
@@ -163,22 +185,26 @@ class VGGBlock(nn.Module):
     bn_fused: bool = False
     # See SplitConv.group_spatial.
     group_spatial: bool = False
+    # See SplitConv.pack.
+    pack: bool = False
 
     @nn.compact
     def __call__(self, x: Parts, train: bool = False) -> jnp.ndarray:
         parts = list(x) if isinstance(x, (list, tuple)) else [x]
         conv1 = SplitConv(self.middle_channels, compute_dtype=self.compute_dtype,
-                          group_spatial=self.group_spatial, name="conv1")
-        conv_kw = dict(
-            kernel_size=(3, 3),
-            padding="SAME",
-            dtype=self.compute_dtype,
-            param_dtype=jnp.float32,
-        )
+                          group_spatial=self.group_spatial, pack=self.pack,
+                          name="conv1")
+        if self.pack:
+            conv2 = PackedConv3x3(self.out_channels,
+                                  compute_dtype=self.compute_dtype, name="conv2")
+        else:
+            conv2 = nn.Conv(self.out_channels, kernel_size=(3, 3),
+                            padding="SAME", dtype=self.compute_dtype,
+                            param_dtype=jnp.float32, name="conv2")
         if self.bn_fused:
             assert not train, "bn_fused is an inference-only mode"
             x = nn.relu(conv1(parts)).astype(self.compute_dtype)
-            x = nn.relu(nn.Conv(self.out_channels, name="conv2", **conv_kw)(x))
+            x = nn.relu(conv2(x))
             return x
         # BatchNorm: torch defaults are momentum=0.1 (i.e. flax momentum=0.9)
         # and eps=1e-5; stats and normalization in f32.
@@ -192,7 +218,7 @@ class VGGBlock(nn.Module):
         x = conv1(parts)
         x = nn.relu(nn.BatchNorm(name="bn1", **bn_kw)(x))
         x = x.astype(self.compute_dtype)
-        x = nn.Conv(self.out_channels, name="conv2", **conv_kw)(x)
+        x = conv2(x)
         x = nn.relu(nn.BatchNorm(name="bn2", **bn_kw)(x))
         return x.astype(self.compute_dtype)
 

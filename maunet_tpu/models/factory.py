@@ -34,13 +34,20 @@ def UrbanPredictor(
     compute_dtype: jnp.dtype = jnp.bfloat16,
     bn_fused: bool = False,
     remat: bool = False,
+    pack_lanes: bool | None = None,
 ) -> nn.Module:
     """Facade dispatch (reference src/model.py:295-326).
 
     Spatial channel count and LSTM sequence length are inferred from the
     inputs at trace time (NHWC / (B, T)), so unlike the reference no
     ``spatial_channels``/``seq_len`` arguments are needed.
+
+    ``pack_lanes=None`` resolves to each model's measured-best default
+    (U-Net++: on — its 32-channel convs quadruple their MXU lane fill;
+    U-Net: off — s=2 packing loses on its 64-channel convs).
     """
+    if pack_lanes is None:
+        pack_lanes = model_type == "unet++"
     if model_type == "unet":
         return MetaUNet(
             out_channels=out_channels,
@@ -54,6 +61,7 @@ def UrbanPredictor(
             compute_dtype=compute_dtype,
             bn_fused=bn_fused,
             remat=remat,
+            pack_lanes=pack_lanes,
         )
     if model_type == "unet++":
         return MetaUNetPP(
@@ -69,6 +77,7 @@ def UrbanPredictor(
             compute_dtype=compute_dtype,
             bn_fused=bn_fused,
             remat=remat,
+            pack_lanes=pack_lanes,
         )
     raise ValueError(f"Unsupported model_type: {model_type!r} (expected one of {MODEL_TYPES})")
 

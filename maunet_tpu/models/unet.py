@@ -37,6 +37,9 @@ class MetaUNet(nn.Module):
     # trading ~30% step FLOPs for O(depth) less live activation memory
     # (enables bigger batches / 512px training tiles).
     remat: bool = False
+    # Lane-pack narrow convs (ops/packed_conv.py) — off by default; measured
+    # per-model in maunet_tpu/benchmarks.py.
+    pack_lanes: bool = False
 
     @nn.compact
     def __call__(
@@ -54,7 +57,8 @@ class MetaUNet(nn.Module):
         block_cls = (nn.remat(VGGBlock, static_argnums=(2,))
                      if self.remat else VGGBlock)
         vgg = lambda name, mid, out: block_cls(mid, out, compute_dtype=cd,
-                                               bn_fused=self.bn_fused, name=name)
+                                               bn_fused=self.bn_fused,
+                                               pack=self.pack_lanes, name=name)
 
         maps = maps.astype(cd)
 

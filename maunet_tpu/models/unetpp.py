@@ -39,6 +39,11 @@ class MetaUNetPP(nn.Module):
     # trading ~30% step FLOPs for O(depth) less live activation memory
     # (enables bigger batches / 512px training tiles).
     remat: bool = False
+    # Lane-pack the 32-channel convs (ops/packed_conv.py): 4x MXU lane fill
+    # for 2x FLOPs.  On by default — measured on v5e at 256²/B8: inference
+    # 23.3 -> 19.5 ms/batch (+20%), train step 59.0 -> 56.6 ms (+4%), with
+    # identical parameters and outputs (exact transform).
+    pack_lanes: bool = True
 
     @nn.compact
     def __call__(
@@ -60,7 +65,8 @@ class MetaUNetPP(nn.Module):
         # dense conv and keep only the embedding part in closed form.
         vgg = lambda name, mid, out: block_cls(mid, out, compute_dtype=cd,
                                                bn_fused=self.bn_fused,
-                                               group_spatial=True, name=name)
+                                               group_spatial=True,
+                                               pack=self.pack_lanes, name=name)
 
         maps = maps.astype(cd)
 

@@ -32,14 +32,20 @@ import jax
 import jax.numpy as jnp
 
 
-def pack_factor(cout: int, width: int, max_s: int = 4) -> int:
+def pack_factor(cout: int, width: int, max_s: int = 4, min_s: int = 1) -> int:
     """Largest useful pack factor: fill the 128-lane tile but never exceed
     ``max_s`` (FLOP inflation (s+2)/3 grows faster than fill beyond s=4),
-    and require the tile width to divide evenly."""
+    and require the tile width to divide evenly.
+
+    ``min_s`` gates marginal packings: measured in-model on v5e, s=2 on
+    64-channel convs *loses* (the 2x input re-read outweighs the 2x fill
+    on convs already near their fill roofline: U-Net-64 9.9 -> 12.2
+    ms/batch) while s=4 on 32-channel convs wins (U-Net++-32 23.3 -> 19.5
+    ms/batch); callers pass ``min_s=4`` to pack only where it pays."""
     s = 1
     while (s * 2 <= max_s and cout * s * 2 <= 128 and width % (s * 2) == 0):
         s *= 2
-    return s
+    return s if s >= min_s else 1
 
 
 def pack_weights(kernel: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -73,13 +79,17 @@ def packed_conv(x: jnp.ndarray, kernel: jnp.ndarray, s: int) -> jnp.ndarray:
             x, kernel, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
     g = w // s
-    xpad = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    # (s+2) strided column slices -> (B, H, G, (s+2)*Cin), t-major to match
-    # pack_weights' channel order.
-    taps = [jax.lax.slice(xpad, (0, 0, t, 0),
-                          (b, h, t + s * (g - 1) + 1, cin), (1, 1, s, 1))
-            for t in range(s + 2)]
-    xp = jnp.stack(taps, axis=3).reshape(b, h, g, (s + 2) * cin)
+    # Group s adjacent columns: a free reshape (W is the second-minor dim of
+    # NHWC, so (W, C) -> (G, s*C) is a view).  The one-column halos are the
+    # last column of the previous group / first column of the next — plain
+    # contiguous pad+slice, NOT strided gathers (measured: a stack of
+    # stride-s slices is ~7x slower than the conv it feeds).
+    groups = x.reshape(b, h, g, s * cin)
+    zero = jnp.zeros((b, h, 1, cin), x.dtype)
+    left = jnp.concatenate([zero, groups[:, :, :-1, (s - 1) * cin:]], axis=2)
+    right = jnp.concatenate([groups[:, :, 1:, :cin], zero], axis=2)
+    # Channel order [col -1 | cols 0..s-1 | col s] == taps t = 0..s+1.
+    xp = jnp.concatenate([left, groups, right], axis=-1)
     wp = pack_weights(kernel, s).astype(x.dtype)
     out = jax.lax.conv_general_dilated(
         xp, wp, window_strides=(1, 1), padding=((1, 1), (0, 0)),
