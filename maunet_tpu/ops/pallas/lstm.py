@@ -118,9 +118,16 @@ def lstm_last_hidden_scan(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
         m = act[:, None]
         return (jnp.where(m, h_new, h), jnp.where(m, c_new, c)), None
 
+    # unroll: the loop body is a (B, H)x(H, 4H) matmul + pointwise — far
+    # below the TPU's per-iteration while-loop overhead (~2 us), so at
+    # T=828 the loop spends more time turning around than computing.
+    # Unrolling amortizes it in fwd-replay AND the transposed backward
+    # scan jax.vjp derives from this function (measured: U-Net train step
+    # 34.7 -> 33.9 ms/step; the remaining reverse scan is compute-bound).
     (h, _), _ = jax.lax.scan(
         step, (h, c),
-        (jnp.swapaxes(x_proj.astype(jnp.float32), 0, 1), active))
+        (jnp.swapaxes(x_proj.astype(jnp.float32), 0, 1), active),
+        unroll=8)
     return h
 
 
