@@ -45,30 +45,59 @@ def prefetch_to_device(
     sharding=None,
 ) -> Iterator[dict[str, Any]]:
     """Prefetch host batches on a worker thread and keep ``buffer_size``
-    batches resident on device ahead of the consumer."""
+    batches resident on device ahead of the consumer.
+
+    If the consumer abandons the generator mid-epoch (e.g. a train step
+    raises and HPO moves to the next trial), the worker must not stay
+    blocked on a full queue holding device buffers alive — it polls a stop
+    flag while putting and exits; generator close/GC sets the flag and
+    drains the queue."""
     q: queue.Queue = queue.Queue(maxsize=buffer_size)
     sentinel = object()
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for batch in batches:
-                q.put(_put(batch, sharding))
+                item = _put(batch, sharding)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate into consumer
             err.append(e)
         finally:
-            q.put(sentinel)
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
 
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        # Release device buffers still parked in the queue.
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def shard_batch_spec(mesh, data_axis: str = "data") -> dict[str, jax.sharding.NamedSharding]:

@@ -41,11 +41,10 @@ TEMP_CHANGE_THRESHOLD = 0.1
 DW_CHANGE_THRESHOLD = 0.1
 
 
-def build_sample_list(image_dir: str, city_population: dict) -> tuple[list[dict], tuple[int, int] | None]:
+def build_sample_list(image_dir: str, city_population: dict) -> list[dict]:
     """All valid (t1, t2) pairs per location (reference process.py:206-228)."""
     locations = group_files_by_location_and_time(image_dir)
     samples = []
-    target_shape = None
     for (city_id, lat, lon), loc in locations.items():
         stamps = sorted(loc["timestamps"])
         for i in range(len(stamps)):
@@ -69,7 +68,7 @@ def build_sample_list(image_dir: str, city_population: dict) -> tuple[list[dict]
                               "temp_t2": files_t2["temp"],
                               "dw_t2": files_t2["dw"]},
                 })
-    return samples, target_shape
+    return samples
 
 
 def _load_pair(sample: dict, target_shape) -> dict[str, np.ndarray]:
@@ -257,7 +256,7 @@ def process_future_data(cfg, image_dir: str | None = None,
         cities_df = pd.read_csv(cities_csv)
         population = cities_df.set_index("id")["population"].to_dict()
 
-    samples, _ = build_sample_list(image_dir, population)
+    samples = build_sample_list(image_dir, population)
     log.info(f"Found {len(samples)} candidate (t1, t2) pairs.")
     if target_shape is None:
         edge = cfg.dataset.image_shape_edge

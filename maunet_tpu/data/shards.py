@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import zipfile
 from collections import OrderedDict
 from typing import Callable
 
@@ -67,9 +68,45 @@ def pack_dataset(src_dir: str, out_dir: str, shard_size: int = 64,
     return out_dir
 
 
+def _mmap_npz_members(path: str) -> dict[str, np.ndarray]:
+    """Memory-map every array of an *uncompressed* ``.npz``.
+
+    ``np.load`` decodes whole members, so serving one sample from a 64-sample
+    shard would read/decode the full shard — under shuffled training that is
+    a ~shard_size read amplification per ``__getitem__``.  Stored (deflate-
+    free) zip members are just ``.npy`` bytes at a file offset, so each maps
+    as a ``np.memmap`` and the page cache faults in only the rows actually
+    touched.  Raises ``ValueError`` on compressed members (caller falls back
+    to eager decode)."""
+    arrays: dict[str, np.ndarray] = {}
+    with zipfile.ZipFile(path) as zf, open(path, "rb") as f:
+        for info in zf.infolist():
+            if info.compress_type != zipfile.ZIP_STORED:
+                raise ValueError(f"{path}:{info.filename} is compressed")
+            # The local header's name/extra lengths can differ from the
+            # central directory's — parse it to find the member data start.
+            f.seek(info.header_offset)
+            local = f.read(30)
+            name_len = int.from_bytes(local[26:28], "little")
+            extra_len = int.from_bytes(local[28:30], "little")
+            data_start = info.header_offset + 30 + name_len + extra_len
+            f.seek(data_start)
+            version = np.lib.format.read_magic(f)
+            if version == (1, 0):
+                shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
+            else:
+                shape, fortran, dtype = np.lib.format.read_array_header_2_0(f)
+            if fortran:
+                raise ValueError(f"{path}:{info.filename} is Fortran-ordered")
+            arrays[info.filename.removesuffix(".npy")] = np.memmap(
+                path, dtype=dtype, mode="r", offset=f.tell(), shape=shape)
+    return arrays
+
+
 class ShardedNpzDataset:
     """NpzDataset-compatible view over packed shards, with a small LRU of
-    decoded shards (sequential epoch access touches each shard once)."""
+    memory-mapped shards — random (shuffled-training) access faults in only
+    the pages of the samples actually read."""
 
     def __init__(self, shard_dir: str, temporal_length: int | None = None,
                  transform: Callable | None = None, cache_shards: int = 2):
@@ -100,8 +137,12 @@ class ShardedNpzDataset:
             self._cache.move_to_end(shard_idx)
             return self._cache[shard_idx]
         path = os.path.join(self.shard_dir, self.index["shards"][shard_idx])
-        with np.load(path) as z:
-            shard = {k: z[k] for k in z.files}
+        try:
+            shard = _mmap_npz_members(path)
+        except ValueError:
+            # Foreign (compressed) shard: eager whole-shard decode.
+            with np.load(path) as z:
+                shard = {k: z[k] for k in z.files}
         self._cache[shard_idx] = shard
         if len(self._cache) > self._cache_shards:
             self._cache.popitem(last=False)

@@ -77,7 +77,11 @@ class SplitConv(nn.Module):
     block target is larger are broadcast embeddings and take the closed-form
     path; all other parts must share the target (H, W).
 
-    Accumulation is f32 across parts (at least as accurate as one fused conv).
+    Each part's conv accumulates in f32 inside the MXU but is rounded to
+    ``compute_dtype`` before the cross-part add (bf16 partial sums keep HBM
+    writes at bf16 width) — in bf16 mode that is one extra rounding per
+    part vs. a single fused conv; with ``compute_dtype=float32`` (the mode
+    golden/parity tests run in) the result is exact.
     """
 
     features: int

@@ -63,8 +63,7 @@ def pack_weights(kernel: jnp.ndarray, s: int) -> jnp.ndarray:
         # place the 3 width taps at offsets p..p+2 of the (s+2) window
         cols.append(jnp.pad(kernel, ((0, 0), (p, s - 1 - p), (0, 0), (0, 0))))
     w = jnp.stack(cols, axis=3)            # (kh, s+2, cin, s, cout)
-    w = w.transpose(0, 1, 2, 3, 4).reshape(kh, 1, (s + 2) * cin, s * cout)
-    return w
+    return w.reshape(kh, 1, (s + 2) * cin, s * cout)
 
 
 def packed_conv(x: jnp.ndarray, kernel: jnp.ndarray, s: int) -> jnp.ndarray:

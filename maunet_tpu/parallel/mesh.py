@@ -68,22 +68,22 @@ def validate_spatial_sharding(mesh: Mesh, tile_h: int,
       though each shard is an even single row — H>=4 is exact in every
       mesh/slice combination tested, including single-row shards.
 
-    Real tiles (256/512 px -> bottleneck 16/32) give every spatial shard
-    >= 2 rows on any sane axis size; this guard turns the miscompiling
-    configurations into a loud error instead of silent wrong numbers.
+    The guard therefore rejects exactly the measured failure surface:
+    uneven bottleneck shards, and bottleneck maps under 4 rows.  Real
+    tiles (256/512 px -> bottleneck 16/32) pass on any sane axis size.
     """
     spatial_axis = mesh.axis_names[1]
     spatial = mesh.shape[spatial_axis]
     if spatial <= 1:
         return
     bottleneck = max(tile_h // downsample, 1)
-    if bottleneck % spatial or bottleneck // spatial < 2:
+    if bottleneck % spatial or bottleneck < 4:
         raise ValueError(
             f"spatial sharding over {spatial} devices requires the bottleneck "
             f"feature-map height (tile {tile_h} / {downsample} = {bottleneck}) "
-            f"to divide into shards of >= 2 rows; smaller shards miscompile "
-            f"SAME-conv halo exchanges under GSPMD (see "
-            f"parallel/mesh.validate_spatial_sharding)")
+            f"to be >= 4 and divisible by the '{spatial_axis}' axis; other "
+            f"configurations miscompile SAME-conv halo exchanges under GSPMD "
+            f"(see parallel/mesh.validate_spatial_sharding)")
 
 
 def batch_pspec(mesh: Mesh, ndim: int, shard_spatial: bool = False) -> P:

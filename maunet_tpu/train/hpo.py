@@ -72,8 +72,11 @@ class Trial:
     def suggest_int(self, name: str, low: int, high: int):
         if name in self._enqueued:
             return self._remember(name, int(self._enqueued[name]))
+        # Sample the continuous relaxation over [low-0.5, high+0.5) so every
+        # integer gets a full unit interval — rounding a [low, high] sample
+        # would give the endpoints half the probability of interior values.
         value = int(round(self.study.sampler.sample_float(
-            self.study, self._rng, name, low, high, False)))
+            self.study, self._rng, name, low - 0.5, high + 0.5, False)))
         return self._remember(name, max(low, min(high, value)))
 
     def suggest_categorical(self, name: str, choices: list):

@@ -110,3 +110,26 @@ def test_prefetch_to_device(synthetic_root):
 
     with pytest.raises(RuntimeError, match="loader failed"):
         list(prefetch_to_device(boom()))
+
+
+def test_prefetch_abandoned_consumer_releases_worker(synthetic_root):
+    """Abandoning the generator mid-epoch (train step raised, HPO moved on)
+    must stop the worker thread instead of leaving it blocked on the full
+    queue holding device batches alive."""
+    import threading
+    import time
+
+    ds = NpzDataset(f"{synthetic_root}/val", temporal_length=96)
+
+    def endless():
+        while True:
+            yield from make_batches(ds, 2)
+
+    before = threading.active_count()
+    it = prefetch_to_device(endless(), buffer_size=1)
+    next(it)
+    it.close()  # consumer abandons mid-stream
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() == before

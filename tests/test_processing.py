@@ -202,7 +202,7 @@ def test_filter_subset_drops_unchanged(raw_env, rng, tmp_path):
                 rng.uniform(0, 255, (3, HW, HW)).astype(np.float32))
         np.save(f"{static_dir}/{base}_{year}_07_ndvi.npy", ndvi)
         np.save(f"{static_dir}/{base}_{year}_07_temp.npy", temp)
-    samples, _ = build_sample_list(static_dir, {})
+    samples = build_sample_list(static_dir, {})
     assert len(samples) == 1
     kept = filter_subset(samples, (HW, HW), "static")
     assert kept == []

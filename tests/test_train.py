@@ -224,7 +224,7 @@ def test_spatial_sharding_matches_single_device(tmp_path):
              for k, v in batch.items()}
     for dp, sp in ((2, 4), (4, 2)):
         bad_mesh = make_mesh(data_parallel=dp, spatial_parallel=sp)
-        with pytest.raises(ValueError, match="shards of >= 2 rows"):
+        with pytest.raises(ValueError, match="miscompile"):
             batch_shardings_for(bad_mesh, small, shard_spatial=True)
 
 
