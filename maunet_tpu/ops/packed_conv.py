@@ -87,10 +87,16 @@ def packed_conv(x: jnp.ndarray, kernel: jnp.ndarray, s: int) -> jnp.ndarray:
     zero = jnp.zeros((b, h, 1, cin), x.dtype)
     left = jnp.concatenate([zero, groups[:, :, :-1, (s - 1) * cin:]], axis=2)
     right = jnp.concatenate([groups[:, :, 1:, :cin], zero], axis=2)
-    # Channel order [col -1 | cols 0..s-1 | col s] == taps t = 0..s+1.
-    xp = jnp.concatenate([left, groups, right], axis=-1)
+    # Convolve the three channel blocks separately instead of materializing
+    # their (s+2)·Cin concat: the main block is the zero-copy reshape of x
+    # itself, so the only extra HBM traffic is the two 1-column-per-group
+    # halo tensors (2/s of the input, vs (s+2)/s for an explicit concat).
+    # Channel-block order [col -1 | cols 0..s-1 | col s] == taps t = 0..s+1.
     wp = pack_weights(kernel, s).astype(x.dtype)
-    out = jax.lax.conv_general_dilated(
-        xp, wp, window_strides=(1, 1), padding=((1, 1), (0, 0)),
+    conv1x = lambda t, wslice: jax.lax.conv_general_dilated(
+        t, wslice, window_strides=(1, 1), padding=((1, 1), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = (conv1x(left, wp[:, :, :cin])
+           + conv1x(groups, wp[:, :, cin:(s + 1) * cin])
+           + conv1x(right, wp[:, :, (s + 1) * cin:]))
     return out.reshape(b, h, w, cout)
