@@ -110,9 +110,17 @@ class SplitConv(nn.Module):
         def is_bcast(p):
             return p.shape[1:3] == (1, 1) and hw != (1, 1)
 
+        # Lane packing reaches full MXU fill per part on its own, so when it
+        # fires the spatial concat is pure overhead (measured: U-Net++ 17.9
+        # -> 16.2 ms/batch ungrouped).  Grouping only pays for *unpacked*
+        # narrow convs (odd tile widths where pack_factor returns 1).
+        pack_s = (pack_factor(self.features, hw[1], min_s=4)
+                  if self.pack else 1)
+        group = self.group_spatial and pack_s == 1
+
         # (tensor, kernel-slice) conv jobs; broadcast parts stay separate.
         jobs, off = [], 0
-        if self.group_spatial:
+        if group:
             spatial = [p for p in parts if not is_bcast(p)]
             # Channel order must match the reference concat order, so
             # grouping is only valid when spatial parts form a prefix.
@@ -142,9 +150,7 @@ class SplitConv(nn.Module):
                 # One f32 accumulation inside the MXU, rounded once to
                 # compute_dtype per part (bf16 partial sums keep HBM writes
                 # at bf16 width; in f32 mode this is exact).
-                s = (pack_factor(self.features, p.shape[2], min_s=4)
-                     if self.pack else 1)
-                y = packed_conv(p.astype(cd), w.astype(cd), s)
+                y = packed_conv(p.astype(cd), w.astype(cd), pack_s)
             out = y if out is None else out + y
         return out + bias.astype(out.dtype)
 
