@@ -150,3 +150,22 @@ def test_split_conv_matches_concat_conv(rng, hw):
     ref_out = ref.apply({"params": variables["params"]}, full)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_pack_lanes_same_params_same_outputs(rng):
+    """pack_lanes is a pure execution-strategy flag: identical parameter
+    pytree and (up to f32 reassociation) identical outputs."""
+    args = (jnp.asarray(rng.normal(size=(2, 32, 32, 23)), jnp.float32),
+            jnp.asarray(rng.normal(size=(2, 48)), jnp.float32),
+            jnp.asarray(rng.normal(size=(2, 8)), jnp.float32),
+            jnp.full((2,), 48, jnp.int32))
+    kw = dict(base_filters=4, temporal_dim=4, meta_dim=4, lstm_dim=8,
+              compute_dtype=jnp.float32)
+    for mt in ("unet", "unet++"):
+        m0 = UrbanPredictor(mt, pack_lanes=False, **kw)
+        m1 = UrbanPredictor(mt, pack_lanes=True, **kw)
+        v = m0.init(jax.random.PRNGKey(0), *args)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+            m1.init(jax.random.PRNGKey(0), *args))
+        np.testing.assert_allclose(np.asarray(m0.apply(v, *args)),
+                                   np.asarray(m1.apply(v, *args)), atol=2e-5)
