@@ -15,15 +15,16 @@ kernel extent 1 in W, ``s×`` the lane fill, and ``(s+2)/3×`` the FLOPs:
 net ~1.5× on 64-channel convs (s=2) and ~2× on 32-channel convs (s=4) at
 the fill-limited roofline.
 
-The transform is exact (the packed kernel is the original kernel scattered
-into structured zeros — zero-padding in W is reproduced by the explicit
-pad) and fully differentiable: gradients flow to the original ``(3, 3,
+The transform computes the same taps (the packed kernel is the original
+kernel scattered into structured zeros; zero-padding in W is reproduced by
+the halo construction), differing from one fused conv only by summation
+order across the three channel blocks — f32-reassociation-level in f32,
+one extra rounding per block in bf16.  It is fully differentiable: gradients flow to the original ``(3, 3,
 Cin, Cout)`` parameter through the packing, so checkpoints keep the
 reference's parameter shapes (reference src/model.py:9-21 VGGBlock convs).
 
-Pure XLA — the strided-slice stack + conv lowers to one MXU-shaped conv;
-no Pallas needed for this one (the pack/reshape fuse into the surrounding
-graph).
+Pure XLA — a zero-copy column-grouping reshape, two small halo tensors,
+and three MXU-shaped convs; no Pallas needed for this one.
 """
 
 from __future__ import annotations
@@ -68,8 +69,9 @@ def pack_weights(kernel: jnp.ndarray, s: int) -> jnp.ndarray:
 
 def packed_conv(x: jnp.ndarray, kernel: jnp.ndarray, s: int) -> jnp.ndarray:
     """3x3 SAME conv via width-lane packing.  ``x`` is NHWC with W % s == 0;
-    ``kernel`` is (3, 3, Cin, Cout).  Exact (up to dtype) vs
-    ``lax.conv_general_dilated(..., padding='SAME')``."""
+    ``kernel`` is (3, 3, Cin, Cout).  Same taps as
+    ``lax.conv_general_dilated(..., padding='SAME')``; differs only by the
+    cross-block summation order (see module docstring)."""
     b, h, w, cin = x.shape
     kh, kw, kcin, cout = kernel.shape
     assert kcin == cin and w % s == 0, (x.shape, kernel.shape, s)

@@ -125,11 +125,13 @@ def test_prefetch_abandoned_consumer_releases_worker(synthetic_root):
         while True:
             yield from make_batches(ds, 2)
 
-    before = threading.active_count()
+    before = set(threading.enumerate())
     it = prefetch_to_device(endless(), buffer_size=1)
     next(it)
+    workers = [t for t in threading.enumerate() if t not in before]
+    assert workers
     it.close()  # consumer abandons mid-stream
     deadline = time.time() + 5.0
-    while threading.active_count() > before and time.time() < deadline:
+    while any(t.is_alive() for t in workers) and time.time() < deadline:
         time.sleep(0.05)
-    assert threading.active_count() == before
+    assert not any(t.is_alive() for t in workers)

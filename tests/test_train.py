@@ -180,9 +180,9 @@ def test_spatial_sharding_matches_single_device(tmp_path):
     mesh axis must match unsharded numerics (XLA inserts conv halo exchanges
     and gathers for the resize matmuls).
 
-    64-px tiles -> bottleneck H=4 over spatial=2: every spatial shard has
-    >= 2 rows, the smallest configuration GSPMD compiles correctly (see
-    parallel/mesh.validate_spatial_sharding).  Degenerate shardings are
+    Runs both spatial=2 (2-row bottleneck shards) and spatial=4 (single-row
+    shards — the smallest configuration the guard accepts; 64-px tiles ->
+    bottleneck H=4).  Degenerate shardings (bottleneck < 4 rows) are
     rejected loudly (tested below)."""
     root = generate_dataset(str(tmp_path / "synth64"), {"train": 4},
                             hw=64, temporal_len=64)
@@ -206,16 +206,20 @@ def test_spatial_sharding_matches_single_device(tmp_path):
     out_single, grad_single = jax.device_get(
         vg(state.variables, jax.device_put(batch)))
 
-    mesh = make_mesh(data_parallel=4, spatial_parallel=2)
-    shardings = batch_shardings_for(mesh, batch, shard_spatial=True)
-    batch_sharded = {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
-    vars_repl = jax.device_put(state.variables, replicated(mesh))
-    out_sharded, grad_sharded = jax.device_get(vg(vars_repl, batch_sharded))
-    np.testing.assert_allclose(out_single, out_sharded, atol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(grad_single),
-                    jax.tree_util.tree_leaves(grad_sharded)):
-        scale = max(1.0, float(np.max(np.abs(a))))
-        np.testing.assert_allclose(a, b, atol=2e-4 * scale)
+    for dp, sp in ((4, 2), (2, 4)):
+        mesh = make_mesh(data_parallel=dp, spatial_parallel=sp)
+        shardings = batch_shardings_for(mesh, batch, shard_spatial=True)
+        batch_sharded = {k: jax.device_put(v, shardings[k])
+                         for k, v in batch.items()}
+        vars_repl = jax.device_put(state.variables, replicated(mesh))
+        out_sharded, grad_sharded = jax.device_get(vg(vars_repl, batch_sharded))
+        np.testing.assert_allclose(out_single, out_sharded, atol=1e-5,
+                                   err_msg=f"mesh {dp}x{sp}")
+        for a, b in zip(jax.tree_util.tree_leaves(grad_single),
+                        jax.tree_util.tree_leaves(grad_sharded)):
+            scale = max(1.0, float(np.max(np.abs(a))))
+            np.testing.assert_allclose(a, b, atol=2e-4 * scale,
+                                       err_msg=f"mesh {dp}x{sp}")
 
     # Bottleneck shards under 2 rows (here: 32-px tile -> H=2 over
     # spatial=2/4, even or not) silently miscompile SAME convs with sliced
