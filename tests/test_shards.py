@@ -86,3 +86,34 @@ def test_sharded_sequential_read_correct(roots):
             a, b = ds[i], sds[i]
             for k in a:
                 np.testing.assert_array_equal(a[k], b[k], err_msg=f"{i}/{k}")
+
+
+def test_compressed_shard_fallback(tmp_path, rng):
+    """Foreign shards written with savez_compressed can't be memory-mapped;
+    the eager whole-shard decode fallback must serve identical data."""
+    import json
+
+    from maunet_tpu.data.shards import INDEX_FILE, ShardedNpzDataset
+
+    n, hw, t = 3, 8, 16
+    arrays = dict(
+        inputs=rng.normal(size=(n, 23, hw, hw)).astype(np.float32),
+        targets=rng.normal(size=(n, 2, hw, hw)).astype(np.float32),
+        metadata=rng.normal(size=(n, 4)).astype(np.float32),
+        series=rng.normal(size=(n, t)).astype(np.float32),
+        lengths=np.full((n,), t, np.int32),
+        t1_dates=np.tile([2020.0, 6.0], (n, 1)).astype(np.float32),
+        t2_dates=np.tile([2023.0, 6.0], (n, 1)).astype(np.float32),
+    )
+    np.savez_compressed(tmp_path / "shard_00000.npz", **arrays)
+    names = [f"city{i}_10.0_20.0_2020_6_2023_6.npz" for i in range(n)]
+    with open(tmp_path / INDEX_FILE, "w") as f:
+        json.dump({"shard_size": n, "temporal_length": t,
+                   "shards": ["shard_00000.npz"], "names": names}, f)
+
+    ds = ShardedNpzDataset(str(tmp_path))
+    for i in range(n):
+        s = ds[i]
+        np.testing.assert_array_equal(
+            s["maps"], arrays["inputs"][i].transpose(1, 2, 0))
+        np.testing.assert_array_equal(s["temp_series"], arrays["series"][i])
