@@ -117,11 +117,20 @@ def main() -> None:
     with open(os.devnull, "w") as devnull, contextlib.redirect_stdout(devnull):
         torch_cpu = measure_torch_cpu()
     vs = tpu / torch_cpu if np.isfinite(torch_cpu) and torch_cpu > 0 else None
+    # The vs_baseline multiple is measured against PyTorch on THIS host's CPU
+    # cores (torch.set_num_threads(cpu_count)).  On a 1-core container that
+    # inflates the multiple ~30x vs a typical 32-core host, so the JSON line
+    # carries the per-core baseline and the core count in-band (VERDICT r2 #8).
+    cores = os.cpu_count() or 1
+    per_core = torch_cpu / cores if np.isfinite(torch_cpu) and torch_cpu > 0 else None
     print(json.dumps({
         "metric": "metadata_unet_inference_throughput_256px",
         "value": round(tpu, 2),
         "unit": "tiles/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
+        "host_cores": cores,
+        "baseline_tiles_per_sec": round(torch_cpu, 3) if per_core else None,
+        "baseline_tiles_per_sec_per_core": round(per_core, 3) if per_core else None,
     }))
 
 

@@ -38,6 +38,8 @@ def _args():
     p.add_argument("--data-dir", default=None,
                    help="processed dataset dir (for normalization stats)")
     p.add_argument("--img-size", type=int, default=512)
+    p.add_argument("--temporal-length", type=int, default=828,
+                   help="CRU series length the model was trained with")
     known, _ = p.parse_known_args()
     return known
 
@@ -95,7 +97,8 @@ def main() -> None:
             stats_path = os.path.join(args.data_dir, "normalization_metrics.json")
             if os.path.exists(stats_path):
                 stats = NormalizationStats.from_json(stats_path)
-        return PlannerEngine(path, stats=stats, img_size=args.img_size)
+        return PlannerEngine(path, stats=stats, img_size=args.img_size,
+                             temporal_length=args.temporal_length)
 
     engine = get_engine(ckpt)
 

@@ -46,9 +46,23 @@ def _dw_map(rng: np.random.Generator, hw: int) -> np.ndarray:
     return np.digitize(field, bins).astype(np.int64)  # values 0..8
 
 
-def make_sample(rng: np.random.Generator, hw: int = 64, temporal_len: int = 828):
+def make_sample(rng: np.random.Generator, hw: int = 64, temporal_len: int = 828,
+                meta_signal: float = 0.0, temporal_signal: float = 0.0,
+                lat_norm: float = 0.0):
     """One (input, target, metadata, temperature_serie) tuple in reference
-    channel order (process.py:182-183)."""
+    channel order (process.py:182-183).
+
+    ``meta_signal`` / ``temporal_signal`` plant a signal that spatial inputs
+    cannot explain (the ablation-science fixture, VERDICT r2 next #3):
+
+    - metadata: the target LST gains ``meta_signal * lat_norm`` — a uniform
+      offset determined by the (z-scored) latitude.  Only models that read
+      the metadata vector can predict it; a no-embedding model eats it as
+      irreducible error.
+    - temporal: the target LST gains ``temporal_signal * recent``, where
+      ``recent`` is the mean of the last 12 months of the CRU series — a
+      "recent local warming" signal only the LSTM branch can see.
+    """
     dw_t1 = _dw_map(rng, hw)
     dw_t2 = dw_t1.copy()
     # plant a land-cover change blob so the change filter keeps the sample
@@ -76,8 +90,16 @@ def make_sample(rng: np.random.Generator, hw: int = 64, temporal_len: int = 828)
     target = np.stack([ndvi_t2, lst_t2]).astype(np.float32)
 
     length = int(rng.integers(temporal_len // 2, temporal_len + 1))
-    series = (0.3 * rng.normal(size=(length,))
+    # per-sample "local climate level": shifts the whole (z-scored) series so
+    # its recent mean is informative and varies across samples
+    level = float(rng.normal(scale=1.0))
+    series = (level + 0.3 * rng.normal(size=(length,))
               + 0.002 * np.arange(length)).astype(np.float32)
+
+    if meta_signal or temporal_signal:
+        recent = float(series[-12:].mean())
+        target[1] += (meta_signal * lat_norm
+                      + temporal_signal * recent)
     return inputs, target, series
 
 
@@ -87,9 +109,15 @@ def generate_dataset(
     hw: int = 64,
     temporal_len: int = 828,
     seed: int = 0,
+    meta_signal: float = 0.0,
+    temporal_signal: float = 0.0,
 ) -> str:
     """Write a synthetic processed dataset (train/val/test splits + stats
-    json) under ``root``; returns ``root``."""
+    json) under ``root``; returns ``root``.
+
+    Non-zero ``meta_signal`` / ``temporal_signal`` plant a metadata-/
+    series-dependent offset in the LST target (see :func:`make_sample`) —
+    the fixture for the end-to-end ablation science loop."""
     samples_per_split = samples_per_split or {"train": 16, "val": 4, "test": 6}
     rng = np.random.default_rng(seed)
 
@@ -121,10 +149,13 @@ def generate_dataset(
             t2y = y1 if split != "train" else int(rng.integers(t1y, y1 + 1))
             t1m, t2m = int(rng.integers(1, 13)), int(rng.integers(1, 13))
             jitter = rng.uniform(-0.02, 0.02, size=2)
-            inputs, target, series = make_sample(rng, hw, temporal_len)
             delta_t = (t2y - t1y) + (t2m - t1m) / 12.0
             meta = (np.array([lat + jitter[0], lon + jitter[1], pop, delta_t])
                     - np.array(stats.meta_mean)) / np.array(stats.meta_std)
+            inputs, target, series = make_sample(
+                rng, hw, temporal_len,
+                meta_signal=meta_signal, temporal_signal=temporal_signal,
+                lat_norm=float(meta[0]))
             name = make_sample_filename(city, cid, lat + jitter[0], lon + jitter[1],
                                         t1y, t1m, t2y, t2m)
             np.savez_compressed(

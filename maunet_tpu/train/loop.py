@@ -38,6 +38,14 @@ log = get_logger(__name__)
 from maunet_tpu.train.hpo import TrialPruned  # noqa: E402,F401  (re-export)
 
 
+class _NullCSVLogger:
+    """Non-primary multi-host processes: metric rows are already global
+    (collective reductions), so only process 0 writes them."""
+
+    def log(self, row: dict) -> None:
+        pass
+
+
 @dataclass
 class TrainResult:
     best_val_loss: float
@@ -158,8 +166,13 @@ class Trainer:
             self.data_dir, "val",
             temporal_length=cfg.dataset.temporal_length)
 
-        self.csv = CSVLogger(os.path.join(
-            work_dir, f"{study_name}_trial{trial_id}_train_log.csv"))
+        # Multi-host: every process shares one work_dir (pod-style shared
+        # filesystem; orbax saves are collective with the primary writing),
+        # so only the primary process appends to the CSV log.
+        csv_path = os.path.join(
+            work_dir, f"{study_name}_trial{trial_id}_train_log.csv")
+        self.csv = (CSVLogger(csv_path) if jax.process_index() == 0
+                    else _NullCSVLogger())
 
     # ------------------------------------------------------------------
     def _batch_shardings(self, batch):

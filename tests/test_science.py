@@ -1,0 +1,85 @@
+"""Planted-signal fixture + ablation science loop (VERDICT r2 next #3).
+
+The full-scale run (192 tiles, 6 epochs, 828-month series) executes on the
+real chip via ``python -m maunet_tpu.analysis.science``; these tests prove
+the machinery on CPU at miniature sizes.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+
+from maunet_tpu.data.dataset import NpzDataset
+from maunet_tpu.data.synthetic import generate_dataset
+
+
+def test_planted_signals_are_in_the_target(tmp_path):
+    """The LST target must carry a latitude- and series-dependent offset the
+    spatial input cannot explain; NDVI stays untouched."""
+    root = generate_dataset(str(tmp_path / "planted"), {"train": 48},
+                            hw=16, temporal_len=64, meta_signal=1.0,
+                            temporal_signal=0.5)
+    base = generate_dataset(str(tmp_path / "plain"), {"train": 48},
+                            hw=16, temporal_len=64)
+
+    def collect(root):
+        ds = NpzDataset(f"{root}/train", temporal_length=64)
+        lat, recent, lst, ndvi = [], [], [], []
+        for i in range(len(ds)):
+            s = ds[i]
+            lat.append(float(s["metadata"][0]))
+            n = int(s["temp_lengths"])
+            recent.append(float(s["temp_series"][max(0, n - 12):n].mean()))
+            lst.append(float(s["targets"][..., 1].mean()))
+            ndvi.append(float(s["targets"][..., 0].mean()))
+        return map(np.asarray, (lat, recent, lst, ndvi))
+
+    lat_p, rec_p, lst_p, ndvi_p = collect(root)
+    lat_0, rec_0, lst_0, ndvi_0 = collect(base)
+
+    # planted: mean LST strongly explained by lat + recent series mean
+    pred = 1.0 * lat_p + 0.5 * rec_p
+    r = np.corrcoef(pred, lst_p)[0, 1]
+    assert r > 0.9, f"planted signal too weak, r={r:.3f}"
+    # unplanted: no such dependence
+    r0 = np.corrcoef(1.0 * lat_0 + 0.5 * rec_0, lst_0)[0, 1]
+    assert abs(r0) < 0.5, f"plain dataset unexpectedly correlated, r={r0:.3f}"
+    # NDVI untouched in both (identical generator stream up to the offset)
+    assert np.allclose(ndvi_p, ndvi_0, atol=1e-6)
+
+
+def test_science_loop_smoke(tmp_path):
+    """Miniature end-to-end ablation loop: 4 variants train, evaluate, pass
+    through stats + sensitivity + comparison, and the artifacts land."""
+    from maunet_tpu.analysis.science import run_science_loop
+
+    work = str(tmp_path / "science")
+    summary = run_science_loop(
+        work_dir=work, hw=32, temporal_len=32, base_filters=4,
+        batch_size=4, epochs=2,
+        samples={"train": 16, "val": 4, "test": 8},
+        meta_signal=1.0, temporal_signal=0.5)
+
+    assert set(summary["variants"]) == {"noemb", "tempemb", "metaemb", "emb"}
+    for row in summary["variants"].values():
+        assert np.isfinite(row["lst_mae_c"]) and np.isfinite(row["ndvi_mae"])
+    assert len(summary["lst_mae_ranking"]) == 4
+    # artifacts: evaluation CSVs, t-tests, nonparametric, sensitivity JSONs,
+    # comparison plots, report
+    assert len(glob.glob(f"{work}/tests/*_evaluation.csv")) == 4
+    assert os.path.exists(f"{work}/comparative_ttests.csv")
+    assert os.path.exists(f"{work}/nonparametric_tests.csv")
+    assert len(glob.glob(f"{work}/sensitivity/sensitivity_data_*.json")) >= 3
+    assert glob.glob(f"{work}/sensitivity/comparison/*")
+    assert os.path.exists(f"{work}/summary.json")
+    report = open(f"{work}/REPORT.md").read()
+    assert "LST MAE" in report and "noemb" in report
+    sens = summary["sensitivity"]
+    for key in ("emb_lat_response", "noemb_lat_response", "gt_lat_response"):
+        assert np.isfinite(sens[key]["slope_per_degree"])
+    # 2 epochs on 16 tiles is not enough to assert model quality here; the
+    # full-scale planted-signal assertions run on the chip (docs/SCIENCE.md).
+    ttests = pd.read_csv(f"{work}/comparative_ttests.csv")
+    assert {"model_1", "model_2", "winner"} <= set(ttests.columns)

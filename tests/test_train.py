@@ -232,6 +232,43 @@ def test_spatial_sharding_matches_single_device(tmp_path):
             batch_shardings_for(bad_mesh, small, shard_spatial=True)
 
 
+def test_gspmd_miscompile_probe_still_reproduces():
+    """Direct probe of the GSPMD bug behind validate_spatial_sharding's
+    bottleneck>=4 restriction (jax 0.9.0): a SAME 3x3 conv whose kernel is
+    ``lax.slice_in_dim`` of a replicated param returns grossly wrong values
+    when the input's H axis is spatially sharded with H == 2 AND the batch
+    axis is sharded too (2-D mesh).
+
+    This test asserts the bug STILL reproduces.  If it starts FAILING after
+    a jax upgrade, the upstream miscompile is fixed: relax the ``bottleneck
+    >= 4`` restriction in parallel/mesh.validate_spatial_sharding back to
+    plain divisibility, re-run test_spatial_sharding_matches_single_device
+    at H=2, and delete this probe.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(data_parallel=2, spatial_parallel=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 8, 16))  # NHWC, H=2
+    w_full = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 32, 16))  # HWIO
+
+    def f(x, w_full):
+        w = jax.lax.slice_in_dim(w_full, 0, 16, axis=2)
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    single = np.asarray(jax.jit(f)(x, w_full))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+    ws = jax.device_put(w_full, NamedSharding(mesh, P()))
+    sharded = np.asarray(jax.jit(f)(xs, ws))
+    err = float(np.max(np.abs(single - sharded)))
+    if err < 1e-4:
+        pytest.fail(
+            f"GSPMD SAME-conv miscompile appears FIXED on jax {jax.__version__} "
+            f"(max err {err:.2e}): relax validate_spatial_sharding per this "
+            f"test's docstring")
+    assert err > 0.1, f"unexpected borderline divergence {err:.2e}"
+
+
 def test_eval_step_masks_padding(synthetic_root):
     model = UrbanPredictor("unet", base_filters=4, temporal_dim=4, meta_dim=4,
                            lstm_dim=8, compute_dtype=jnp.float32)
