@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from maunet_tpu.ops.packed_conv import pack_factor, packed_conv
+from maunet_tpu.ops.packed_conv import Packed, pack, pack_factor, packed_conv
 
 Parts = Union[jnp.ndarray, Sequence[jnp.ndarray]]
 
@@ -54,17 +54,26 @@ def _border_mask(n: int) -> np.ndarray:
     return ((y + k - 1 >= 0) & (y + k - 1 < n)).astype(np.float32)
 
 
-def _const_conv(emb: jnp.ndarray, kernel: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+def _const_conv(emb: jnp.ndarray, kernel: jnp.ndarray, h: int, w: int,
+                out_pack: int = 1) -> jnp.ndarray:
     """3×3 SAME (zero-pad) conv of a spatially-constant (B, D) input,
-    evaluated in closed form.  Returns (B, h, w, C) in f32."""
+    evaluated in closed form.  Returns (B, h, w, C) in f32 — or, with
+    ``out_pack=s``, the lane-packed (B, h, w/s, s*C) form directly (the
+    W-axis einsum emits the packed channel order natively)."""
     e = emb.reshape(emb.shape[0], -1).astype(jnp.float32)
     k = kernel.astype(jnp.float32)
     # Per-tap contribution (B, 3, 3, C), then interpolate over the border
     # masks of each axis.
     taps = jnp.einsum("bd,ijdc->bijc", e, k)
     a = jnp.asarray(_border_mask(h))
-    b = jnp.asarray(_border_mask(w))
     out = jnp.einsum("hi,bijc->bhjc", a, taps)
+    if out_pack > 1:
+        s = out_pack
+        bm = jnp.asarray(_border_mask(w).reshape(w // s, s, 3))
+        z = jnp.einsum("gpj,bhjc->bhgpc", bm, out)
+        bsz, c = emb.shape[0], kernel.shape[-1]
+        return z.reshape(bsz, h, w // s, s * c)
+    b = jnp.asarray(_border_mask(w))
     return jnp.einsum("wj,bhjc->bhwc", b, out)
 
 
@@ -95,20 +104,32 @@ class SplitConv(nn.Module):
     # Lane-pack adjacent output columns when features < 128
     # (ops/packed_conv.py): s x MXU lane fill for (s+2)/3 x FLOPs.
     pack: bool = False
+    # Return the lane-packed form (only meaningful when packing fires):
+    # packed-resident decoder rows chain node->node without layout copies.
+    out_packed: bool = False
 
     @nn.compact
-    def __call__(self, parts: Sequence[jnp.ndarray]) -> jnp.ndarray:
-        total_in = sum(p.shape[-1] for p in parts)
+    def __call__(self, parts: Sequence[jnp.ndarray]):
+        def c_of(p):
+            return p.cin if isinstance(p, Packed) else p.shape[-1]
+
+        def hw_of(p):
+            if isinstance(p, Packed):
+                return (p.x.shape[1], p.x.shape[2] * p.s)
+            return p.shape[1:3]
+
+        total_in = sum(c_of(p) for p in parts)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, total_in, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
-        hw = next((p.shape[1:3] for p in parts if p.shape[1:3] != (1, 1)),
-                  parts[0].shape[1:3])
+        hw = next((hw_of(p) for p in parts if hw_of(p) != (1, 1)),
+                  hw_of(parts[0]))
         cd = self.compute_dtype
 
         def is_bcast(p):
-            return p.shape[1:3] == (1, 1) and hw != (1, 1)
+            return (not isinstance(p, Packed) and p.shape[1:3] == (1, 1)
+                    and hw != (1, 1))
 
         # Lane packing reaches full MXU fill per part on its own, so when it
         # fires the spatial concat is pure overhead (measured: U-Net++ 17.9
@@ -117,6 +138,10 @@ class SplitConv(nn.Module):
         pack_s = (pack_factor(self.features, hw[1], min_s=4)
                   if self.pack else 1)
         group = self.group_spatial and pack_s == 1
+        if pack_s == 1:
+            assert not self.out_packed and not any(
+                isinstance(p, Packed) for p in parts), \
+                "packed parts require an active pack factor"
 
         # (tensor, kernel-slice) conv jobs; broadcast parts stay separate.
         jobs, off = [], 0
@@ -136,7 +161,7 @@ class SplitConv(nn.Module):
             off = cs
             parts = parts[len(spatial):]
         for p in parts:
-            c = p.shape[-1]
+            c = c_of(p)
             jobs.append((p, jax.lax.slice_in_dim(kernel, off, off + c, axis=2)))
             off += c
 
@@ -145,33 +170,91 @@ class SplitConv(nn.Module):
             if is_bcast(p):
                 # Closed-form conv of a spatially-constant map; cast to the
                 # accumulation dtype of the spatial convs.
-                y = _const_conv(p, w, *hw).astype(cd)
+                y = _const_conv(p, w, *hw,
+                                out_pack=pack_s if self.out_packed else 1
+                                ).astype(cd)
             else:
                 # One f32 accumulation inside the MXU, rounded once to
                 # compute_dtype per part (bf16 partial sums keep HBM writes
                 # at bf16 width; in f32 mode this is exact).
-                y = packed_conv(p.astype(cd), w.astype(cd), pack_s)
+                if isinstance(p, Packed):
+                    p = Packed(p.x.astype(cd), p.cin)
+                else:
+                    p = p.astype(cd)
+                y = packed_conv(p, w.astype(cd), pack_s,
+                                out_packed=self.out_packed)
+                if isinstance(y, Packed):
+                    y = y.x
             out = y if out is None else out + y
-        return out + bias.astype(out.dtype)
+        b_vec = bias.astype(out.dtype)
+        if self.out_packed:
+            return Packed(out + jnp.tile(b_vec, pack_s), self.features)
+        return out + b_vec
 
 
 class PackedConv3x3(nn.Module):
     """3x3 SAME conv with lane packing; parameter pytree ({kernel, bias})
-    and initializers identical to ``nn.Conv`` so it is a drop-in swap."""
+    and initializers identical to ``nn.Conv`` so it is a drop-in swap.
+    Accepts/returns the lane-packed form when the caller keeps the decoder
+    row packed-resident (``out_packed``)."""
 
     features: int
     compute_dtype: jnp.dtype = jnp.bfloat16
+    out_packed: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray | Packed):
+        if isinstance(x, Packed):
+            cin, s, width = x.cin, x.s, x.x.shape[2] * x.s
+        else:
+            cin, width = x.shape[-1], x.shape[2]
+            s = pack_factor(self.features, width, min_s=4)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (3, 3, x.shape[-1], self.features), jnp.float32)
+                            (3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
         cd = self.compute_dtype
-        s = pack_factor(self.features, x.shape[2], min_s=4)
-        y = packed_conv(x.astype(cd), kernel.astype(cd), s)
+        if isinstance(x, Packed):
+            x = Packed(x.x.astype(cd), x.cin)
+        else:
+            x = x.astype(cd)
+        y = packed_conv(x, kernel.astype(cd), s, out_packed=self.out_packed)
+        if isinstance(y, Packed):
+            return Packed(y.x + jnp.tile(bias.astype(y.x.dtype), s),
+                          self.features)
         return y + bias.astype(y.dtype)
+
+
+class BatchNormPacked(nn.Module):
+    """Inference-only BatchNorm over a lane-packed tensor.
+
+    Declares the exact variable tree of ``nn.BatchNorm`` (params scale/bias,
+    batch_stats mean/var, all shape ``(features,)``) so checkpoints are
+    interchangeable, and applies the same eval arithmetic —
+    ``(x - mean) * rsqrt(var + eps) * scale + bias`` in f32, with each
+    per-channel vector tiled ``s``× over the packed channel dim.  Used by the
+    packed-resident decoder path, where normalizing the packed tensor
+    directly avoids the unpack→BN→repack layout copies.
+    """
+
+    features: int
+    s: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        tile = lambda v: jnp.tile(v, self.s)
+        y = (xp.astype(jnp.float32) - tile(mean.value)) * tile(
+            jax.lax.rsqrt(var.value + self.epsilon))
+        return y * tile(scale) + tile(bias)
 
 
 class VGGBlock(nn.Module):
@@ -197,10 +280,20 @@ class VGGBlock(nn.Module):
     group_spatial: bool = False
     # See SplitConv.pack.
     pack: bool = False
+    # Packed-resident inference: inputs may be Packed, the output stays
+    # Packed, and BN/ReLU run in packed space (BatchNormPacked) — no
+    # unpack/repack layout copies between chained blocks.  Inference-only
+    # (training BN needs per-true-channel batch stats).
+    packed_io: bool = False
 
     @nn.compact
-    def __call__(self, x: Parts, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: Parts, train: bool = False):
         parts = list(x) if isinstance(x, (list, tuple)) else [x]
+        if self.packed_io:
+            assert not train, "packed_io is an inference-only mode"
+            return self._call_packed(parts)
+        assert not any(isinstance(p, Packed) for p in parts), \
+            "Packed parts require packed_io"
         conv1 = SplitConv(self.middle_channels, compute_dtype=self.compute_dtype,
                           group_spatial=self.group_spatial, pack=self.pack,
                           name="conv1")
@@ -232,10 +325,72 @@ class VGGBlock(nn.Module):
         x = nn.relu(nn.BatchNorm(name="bn2", **bn_kw)(x))
         return x.astype(self.compute_dtype)
 
+    def _call_packed(self, parts) -> Packed:
+        cd = self.compute_dtype
+        conv1 = SplitConv(self.middle_channels, compute_dtype=cd,
+                          group_spatial=False, pack=True, out_packed=True,
+                          name="conv1")
+        conv2 = PackedConv3x3(self.out_channels, compute_dtype=cd,
+                              out_packed=True, name="conv2")
+        y = conv1(parts)
+        if self.bn_fused:
+            x = Packed(nn.relu(y.x).astype(cd), y.cin)
+            y2 = conv2(x)
+            return Packed(nn.relu(y2.x).astype(cd), y2.cin)
+        x = nn.relu(BatchNormPacked(self.middle_channels, y.s,
+                                    name="bn1")(y.x))
+        y2 = conv2(Packed(x.astype(cd), y.cin))
+        x = nn.relu(BatchNormPacked(self.out_channels, y2.s,
+                                    name="bn2")(y2.x))
+        return Packed(x.astype(cd), y2.cin)
 
-def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+
+class PackedConv1x1(nn.Module):
+    """1x1 conv over a lane-packed tensor via a block-diagonal packed kernel.
+    Parameter tree ({kernel (1,1,Cin,F), bias (F,)}) identical to ``nn.Conv``
+    so the output heads stay checkpoint-compatible; the packed input is
+    consumed in place (no unpack copy before the head)."""
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xp: Packed) -> Packed:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, xp.cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        s, cd = xp.s, self.compute_dtype
+        kb = jnp.einsum("pq,cf->pcqf", jnp.eye(s, dtype=jnp.float32),
+                        kernel[0, 0]).reshape(1, 1, s * xp.cin,
+                                              s * self.features)
+        out = jax.lax.conv_general_dilated(
+            xp.x.astype(cd), kb.astype(cd), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = out + jnp.tile(bias.astype(out.dtype), s)
+        return Packed(out, self.features)
+
+
+def max_pool_2x2(x: jnp.ndarray | Packed) -> jnp.ndarray:
     """2×2/stride-2 max pool, floor semantics for odd sizes (torch
-    ``nn.MaxPool2d(2, 2)``, reference src/model.py:58,218): 31 → 15."""
+    ``nn.MaxPool2d(2, 2)``, reference src/model.py:58,218): 31 → 15.
+
+    A :class:`Packed` input pools in packed space: the W-direction max pairs
+    adjacent columns *within* a group, which in packed channel order is an
+    elementwise max of channel slices — no unpack reshape (the unpack view
+    fed to ``reduce_window`` costs a layout copy + a 2× slower pool, round-3
+    trace).  Returns the unpacked pooled tensor.
+    """
+    if isinstance(x, Packed):
+        s, c = x.s, x.cin
+        assert s % 2 == 0, s
+        xp = x.x  # (b, h, g, s*c); column p of group g is channels [p*c:(p+1)*c]
+        pairs = [jnp.maximum(xp[..., (2 * i) * c:(2 * i + 1) * c],
+                             xp[..., (2 * i + 1) * c:(2 * i + 2) * c])
+                 for i in range(s // 2)]
+        m = pairs[0] if len(pairs) == 1 else jnp.concatenate(pairs, axis=-1)
+        m = nn.max_pool(m, window_shape=(2, 1), strides=(2, 1), padding="VALID")
+        return Packed(m, c).unpack()
     return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="VALID")
 
 

@@ -18,8 +18,9 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from maunet_tpu.models.blocks import VGGBlock, max_pool_2x2
+from maunet_tpu.models.blocks import PackedConv1x1, VGGBlock, max_pool_2x2
 from maunet_tpu.models.encoders import MetadataEncoder, TemporalEncoder
+from maunet_tpu.ops.packed_conv import Packed, pack_factor
 from maunet_tpu.ops.resize import upsample_like
 
 
@@ -60,13 +61,28 @@ class MetaUNetPP(nn.Module):
         # control flow inside the block)
         block_cls = (nn.remat(VGGBlock, static_argnums=(2,))
                      if self.remat else VGGBlock)
+        # Packed-resident inference: every level whose lane packing fires
+        # keeps its activations in the packed (B, H, W/s, s*C) form across
+        # the whole row — convs, BN, ReLU, skips, and the resized deep
+        # tensors all stay packed, so the unpack/repack pairs XLA turns into
+        # full-tensor layout copies (~2.5 ms/step at 256², round-3 trace)
+        # never exist.  Training keeps the unpacked path (batch-stat BN).
+        widths = [maps.shape[2] // (2 ** i) for i in range(5)]
+        s_lvl = [
+            pack_factor(nb[i], widths[i], min_s=4)
+            if (self.pack_lanes and not train) else 1
+            for i in range(5)
+        ]
         # group_spatial: at 32 base filters, per-part convs under-fill the
         # MXU lanes 4x — pack the same-resolution skip tensors into one
         # dense conv and keep only the embedding part in closed form.
-        vgg = lambda name, mid, out: block_cls(mid, out, compute_dtype=cd,
-                                               bn_fused=self.bn_fused,
-                                               group_spatial=True,
-                                               pack=self.pack_lanes, name=name)
+        vgg = lambda name, mid, out, lvl: block_cls(
+            mid, out, compute_dtype=cd, bn_fused=self.bn_fused,
+            group_spatial=True, pack=self.pack_lanes,
+            packed_io=s_lvl[lvl] > 1, name=name)
+
+        def unpack(x):
+            return x.unpack() if isinstance(x, Packed) else x
 
         maps = maps.astype(cd)
 
@@ -83,7 +99,7 @@ class MetaUNetPP(nn.Module):
             )(metadata.astype(jnp.float32)))
         emb = jnp.concatenate(embs, axis=-1) if embs else None
 
-        def node(name, mid, out, parts, target_hw):
+        def node(name, mid, out, lvl, parts):
             """Decoder node: skip tensors + resized deep tensor + broadcast
             embedding map, then VGGBlock (reference :136-177).  Parts stay
             unconcatenated — SplitConv convolves each separately, and the
@@ -93,50 +109,66 @@ class MetaUNetPP(nn.Module):
             pieces = list(parts)
             if emb is not None:
                 pieces.append(emb[:, None, None, :])
-            return vgg(name, mid, out)(pieces, train)
+            return vgg(name, mid, out, lvl)(pieces, train)
 
-        def up(x, ref):
+        def up(x, lvl):
             # U-Net++ resizes straight to the target size (single resize,
-            # reference :111-121 — self.up is commented out in the reference).
-            return upsample_like(x, ref.shape[1:3], pre_scale=None).astype(cd)
+            # reference :111-121 — self.up is commented out in the
+            # reference); emitted directly in the target level's packed form.
+            # floor(floor(n/2)/2) == floor(n/4): repeated 2x2 floor-pooling
+            # equals floor division by 2**lvl, so the target size is static.
+            hw = (maps.shape[1] // 2 ** lvl, widths[lvl])
+            y = upsample_like(unpack(x), hw, pre_scale=None,
+                              out_pack=s_lvl[lvl])
+            if isinstance(y, Packed):
+                return Packed(y.x.astype(cd), y.cin)
+            return y.astype(cd)
 
-        x0_0 = vgg("conv0_0", nb[0], nb[0])(maps, train)
-        x1_0 = vgg("conv1_0", nb[1], nb[1])(max_pool_2x2(x0_0), train)
-        hw0 = x0_0.shape[1:3]
-        x0_1 = node("conv0_1", nb[0], nb[0], [x0_0, up(x1_0, x0_0)], hw0)
+        def pool(x):
+            return max_pool_2x2(x)  # packed-aware (blocks.max_pool_2x2)
 
-        x2_0 = vgg("conv2_0", nb[2], nb[2])(max_pool_2x2(x1_0), train)
-        hw1 = x1_0.shape[1:3]
-        x1_1 = node("conv1_1", nb[1], nb[1], [x1_0, up(x2_0, x1_0)], hw1)
-        x0_2 = node("conv0_2", nb[0], nb[0], [x0_0, x0_1, up(x1_1, x0_0)], hw0)
+        x0_0 = vgg("conv0_0", nb[0], nb[0], 0)(maps, train)
+        x1_0 = vgg("conv1_0", nb[1], nb[1], 1)(pool(x0_0), train)
+        x0_1 = node("conv0_1", nb[0], nb[0], 0, [x0_0, up(x1_0, 0)])
 
-        x3_0 = vgg("conv3_0", nb[3], nb[3])(max_pool_2x2(x2_0), train)
-        hw2 = x2_0.shape[1:3]
-        x2_1 = node("conv2_1", nb[2], nb[2], [x2_0, up(x3_0, x2_0)], hw2)
-        x1_2 = node("conv1_2", nb[1], nb[1], [x1_0, x1_1, up(x2_1, x1_0)], hw1)
-        x0_3 = node("conv0_3", nb[0], nb[0], [x0_0, x0_1, x0_2, up(x1_2, x0_0)], hw0)
+        x2_0 = vgg("conv2_0", nb[2], nb[2], 2)(pool(x1_0), train)
+        x1_1 = node("conv1_1", nb[1], nb[1], 1, [x1_0, up(x2_0, 1)])
+        x0_2 = node("conv0_2", nb[0], nb[0], 0, [x0_0, x0_1, up(x1_1, 0)])
 
-        x4_0 = vgg("conv4_0", nb[4], nb[4])(max_pool_2x2(x3_0), train)
-        hw3 = x3_0.shape[1:3]
-        x3_1 = node("conv3_1", nb[3], nb[3], [x3_0, up(x4_0, x3_0)], hw3)
-        x2_2 = node("conv2_2", nb[2], nb[2], [x2_0, x2_1, up(x3_1, x2_0)], hw2)
-        x1_3 = node("conv1_3", nb[1], nb[1], [x1_0, x1_1, x1_2, up(x2_2, x1_0)], hw1)
-        x0_4 = node("conv0_4", nb[0], nb[0],
-                    [x0_0, x0_1, x0_2, x0_3, up(x1_3, x0_0)], hw0)
+        x3_0 = vgg("conv3_0", nb[3], nb[3], 3)(pool(x2_0), train)
+        x2_1 = node("conv2_1", nb[2], nb[2], 2, [x2_0, up(x3_0, 2)])
+        x1_2 = node("conv1_2", nb[1], nb[1], 1, [x1_0, x1_1, up(x2_1, 1)])
+        x0_3 = node("conv0_3", nb[0], nb[0], 0,
+                    [x0_0, x0_1, x0_2, up(x1_2, 0)])
+
+        x4_0 = vgg("conv4_0", nb[4], nb[4], 4)(pool(x3_0), train)
+        x3_1 = node("conv3_1", nb[3], nb[3], 3, [x3_0, up(x4_0, 3)])
+        x2_2 = node("conv2_2", nb[2], nb[2], 2, [x2_0, x2_1, up(x3_1, 2)])
+        x1_3 = node("conv1_3", nb[1], nb[1], 1,
+                    [x1_0, x1_1, x1_2, up(x2_2, 1)])
+        x0_4 = node("conv0_4", nb[0], nb[0], 0,
+                    [x0_0, x0_1, x0_2, x0_3, up(x1_3, 0)])
 
         # Heads run in compute_dtype (f32 input materialization at full tile
         # resolution is pure HBM cost — docs/TRACE.md); activations in f32.
+        # Packed inputs go through the block-diagonal packed 1x1 head (same
+        # parameter tree as nn.Conv) and unpack only the tiny 2-ch output.
         conv_kw = dict(kernel_size=(1, 1), dtype=cd, param_dtype=jnp.float32)
+
+        def head(name, x):
+            if isinstance(x, Packed):
+                return PackedConv1x1(self.out_channels, compute_dtype=cd,
+                                     name=name)(x).unpack()
+            return nn.Conv(self.out_channels, name=name, **conv_kw)(x)
+
         if self.deep_supervision:
             # Four raw heads, no output activation (reference :180-185).
             return tuple(
-                nn.Conv(self.out_channels, name=f"final{i}", **conv_kw)(
-                    x).astype(jnp.float32)
+                head(f"final{i}", x).astype(jnp.float32)
                 for i, x in enumerate((x0_1, x0_2, x0_3, x0_4), start=1)
             )
 
-        output = nn.Conv(self.out_channels, name="final", **conv_kw)(
-            x0_4).astype(jnp.float32)
+        output = head("final", x0_4).astype(jnp.float32)
         if self.out_channels == 2:
             output = jnp.concatenate(
                 [jnp.tanh(output[..., 0:1]), output[..., 1:2]], axis=-1

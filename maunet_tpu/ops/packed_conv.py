@@ -29,8 +29,39 @@ and three MXU-shaped convs; no Pallas needed for this one.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+
+
+class Packed(NamedTuple):
+    """A lane-packed NHWC tensor: ``x`` has shape (B, H, W/s, s*cin) where
+    packed channel ``p*cin + c`` is column ``g*s + p``, channel ``c``.
+
+    Produced by packed-output convs/resizes so consumers read it without an
+    unpack→repack round trip (each such pair is a full-tensor layout copy on
+    TPU — the round-3 XPlane trace showed ~1.5 ms/step of exactly these
+    copies between U-Net++ decoder nodes).
+    """
+
+    x: jnp.ndarray
+    cin: int
+
+    @property
+    def s(self) -> int:
+        return self.x.shape[-1] // self.cin
+
+    def unpack(self) -> jnp.ndarray:
+        b, h, g, sc = self.x.shape
+        return self.x.reshape(b, h, g * self.s, self.cin)
+
+
+def pack(x: jnp.ndarray, s: int) -> Packed:
+    """View an NHWC tensor as lane-packed (free reshape when C is minor)."""
+    b, h, w, c = x.shape
+    assert w % s == 0, (x.shape, s)
+    return Packed(x.reshape(b, h, w // s, s * c), c)
 
 
 def pack_factor(cout: int, width: int, max_s: int = 4, min_s: int = 1) -> int:
@@ -67,26 +98,40 @@ def pack_weights(kernel: jnp.ndarray, s: int) -> jnp.ndarray:
     return w.reshape(kh, 1, (s + 2) * cin, s * cout)
 
 
-def packed_conv(x: jnp.ndarray, kernel: jnp.ndarray, s: int) -> jnp.ndarray:
-    """3x3 SAME conv via width-lane packing.  ``x`` is NHWC with W % s == 0;
+def packed_conv(x: jnp.ndarray | Packed, kernel: jnp.ndarray, s: int,
+                out_packed: bool = False) -> jnp.ndarray | Packed:
+    """3x3 SAME conv via width-lane packing.  ``x`` is NHWC with W % s == 0,
+    or an already-:class:`Packed` tensor (its own ``s`` must equal ``s``);
     ``kernel`` is (3, 3, Cin, Cout).  Same taps as
     ``lax.conv_general_dilated(..., padding='SAME')``; differs only by the
-    cross-block summation order (see module docstring)."""
-    b, h, w, cin = x.shape
-    kh, kw, kcin, cout = kernel.shape
-    assert kcin == cin and w % s == 0, (x.shape, kernel.shape, s)
+    cross-block summation order (see module docstring).
+
+    ``out_packed=True`` returns the result as :class:`Packed` — chaining
+    packed convs (VGGBlock conv1→conv2, node→node skips) without the
+    intermediate unpack/repack, which XLA materializes as full layout copies.
+    """
+    kh, kw, cin, cout = kernel.shape
     if s == 1:
+        assert not isinstance(x, Packed) and not out_packed
         return jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    g = w // s
-    # Group s adjacent columns: a free reshape (W is the second-minor dim of
-    # NHWC, so (W, C) -> (G, s*C) is a view).  The one-column halos are the
-    # last column of the previous group / first column of the next — plain
-    # contiguous pad+slice, NOT strided gathers (measured: a stack of
-    # stride-s slices is ~7x slower than the conv it feeds).
-    groups = x.reshape(b, h, g, s * cin)
-    zero = jnp.zeros((b, h, 1, cin), x.dtype)
+    if isinstance(x, Packed):
+        assert x.cin == cin and x.s == s, (x.x.shape, x.cin, kernel.shape, s)
+        groups = x.x
+        b, h, g, _ = groups.shape
+    else:
+        b, h, w, xc = x.shape
+        assert xc == cin and w % s == 0, (x.shape, kernel.shape, s)
+        g = w // s
+        # Group s adjacent columns: a free reshape (W is the second-minor dim
+        # of NHWC, so (W, C) -> (G, s*C) is a view).
+        groups = x.reshape(b, h, g, s * cin)
+    # The one-column halos are the last column of the previous group / first
+    # column of the next — plain contiguous pad+slice, NOT strided gathers
+    # (measured: a stack of stride-s slices is ~7x slower than the conv it
+    # feeds).
+    zero = jnp.zeros((b, h, 1, cin), groups.dtype)
     left = jnp.concatenate([zero, groups[:, :, :-1, (s - 1) * cin:]], axis=2)
     right = jnp.concatenate([groups[:, :, 1:, :cin], zero], axis=2)
     # Convolve the three channel blocks separately instead of materializing
@@ -94,11 +139,13 @@ def packed_conv(x: jnp.ndarray, kernel: jnp.ndarray, s: int) -> jnp.ndarray:
     # itself, so the only extra HBM traffic is the two 1-column-per-group
     # halo tensors (2/s of the input, vs (s+2)/s for an explicit concat).
     # Channel-block order [col -1 | cols 0..s-1 | col s] == taps t = 0..s+1.
-    wp = pack_weights(kernel, s).astype(x.dtype)
+    wp = pack_weights(kernel, s).astype(groups.dtype)
     conv1x = lambda t, wslice: jax.lax.conv_general_dilated(
         t, wslice, window_strides=(1, 1), padding=((1, 1), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     out = (conv1x(left, wp[:, :, :cin])
            + conv1x(groups, wp[:, :, cin:(s + 1) * cin])
            + conv1x(right, wp[:, :, (s + 1) * cin:]))
-    return out.reshape(b, h, w, cout)
+    if out_packed:
+        return Packed(out, cout)
+    return out.reshape(b, h, g * s, cout)

@@ -139,26 +139,263 @@ def lstm_last_hidden(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
     ``x_proj`` must already include x·W_ih + b_ih + b_hh.  ``lengths`` are
     per-sample true sequence lengths (state freezes beyond them).
 
-    Forward runs the Pallas kernel; the backward pass (pallas_call has no
-    autodiff rule) differentiates the scan reference — a remat-style
-    recompute, only paid when training with the pallas backend.
+    Inference runs the plain Pallas kernel.  Under differentiation, the
+    forward stashes the per-step (h, c) states to HBM (~5 MB at B=8/T=828)
+    and the backward runs a second Pallas kernel — a time-reversed scan with
+    the gates recomputed from the stashed states (one extra (B,H)·(H,4H)
+    matmul per step) — replacing the XLA reverse ``lax.scan`` + forward
+    replay that cost ~2 ms/step of the round-2 train step (docs/TRACE.md).
     """
     return _pallas_forward(x_proj, w_hh, lengths)
 
 
 def _vjp_fwd(x_proj, w_hh, lengths):
-    return _pallas_forward(x_proj, w_hh, lengths), (x_proj, w_hh, lengths)
+    h_last, h_all, c_all = _pallas_forward_stash(x_proj, w_hh, lengths)
+    return h_last, (x_proj, w_hh, lengths, h_all, c_all)
 
 
 def _vjp_bwd(residuals, g):
-    x_proj, w_hh, lengths = residuals
-    _, vjp = jax.vjp(lambda x, w: lstm_last_hidden_scan(x, w, lengths),
-                     x_proj, w_hh)
-    dx, dw = vjp(g)
+    x_proj, w_hh, lengths, h_all, c_all = residuals
+    dx, dw = _pallas_backward(x_proj, w_hh, lengths, h_all, c_all, g)
     return dx, dw, None
 
 
 lstm_last_hidden.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def _make_stash_kernel(chunk: int, unroll: int | bool = True):
+    """Forward kernel that additionally writes every step's (h, c) to HBM —
+    the residuals the Pallas backward consumes.  ``unroll`` is full for
+    Mosaic (which supports only 1 or full) and 1 under the interpreter,
+    where a fully unrolled 128-step body is ~100× slower to execute."""
+
+    def _kernel(lengths_ref, xproj_ref, whh_ref, out_ref, h_all_ref,
+                c_all_ref, h_ref, c_ref):
+        t_step = pl.program_id(1)
+        num_t = pl.num_programs(1)
+
+        @pl.when(t_step == 0)
+        def _():
+            h_ref[:] = jnp.zeros_like(h_ref)
+            c_ref[:] = jnp.zeros_like(c_ref)
+
+        hidden = h_ref.shape[1]
+        lengths = lengths_ref[:]
+
+        def body(i, carry):
+            h, c = carry
+            t = t_step * chunk + i
+            gates = xproj_ref[:, i, :] + jnp.dot(
+                h, whh_ref[:], preferred_element_type=jnp.float32)
+            i_g = jax.nn.sigmoid(gates[:, :hidden])
+            f_g = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+            g_g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+            o_g = jax.nn.sigmoid(gates[:, 3 * hidden:])
+            c_new = f_g * c + i_g * g_g
+            h_new = o_g * jnp.tanh(c_new)
+            active = t < lengths
+            h = jnp.where(active, h_new, h)
+            c = jnp.where(active, c_new, c)
+            h_all_ref[:, i, :] = h
+            c_all_ref[:, i, :] = c
+            return h, c
+
+        h, c = jax.lax.fori_loop(0, chunk, body, (h_ref[:], c_ref[:]),
+                                 unroll=chunk if unroll else 1)
+        h_ref[:] = h
+        c_ref[:] = c
+
+        @pl.when(t_step == num_t - 1)
+        def _():
+            out_ref[:] = h_ref[:]
+
+    return _kernel
+
+
+def _make_bwd_kernel(chunk: int, num_t: int, num_b: int,
+                     unroll: int | bool = True):
+    """Time-reversed backward scan.  Grid = (batch blocks, time chunks) with
+    the time index map reversed; the (dh, dc) scratch carries the reverse
+    state across a batch block's chunks, and ``dw_ref`` (constant index map →
+    VMEM-resident) accumulates h_{t-1}ᵀ·dgates over the whole grid."""
+
+    def _kernel(lengths_ref, xproj_ref, hprev_ref, cprev_ref, call_ref,
+                whh_ref, g_ref, dx_ref, dw_ref, dh_ref, dc_ref):
+        b_step = pl.program_id(0)
+        t_step = pl.program_id(1)
+
+        @pl.when(t_step == 0)
+        def _():
+            dh_ref[:] = g_ref[:]
+            dc_ref[:] = jnp.zeros_like(dc_ref)
+
+        @pl.when((t_step == 0) & (b_step == 0))
+        def _():
+            dw_ref[:] = jnp.zeros_like(dw_ref)
+
+        hidden = dh_ref.shape[1]
+        lengths = lengths_ref[:]
+        t0 = (num_t - 1 - t_step) * chunk
+
+        def body(k, carry):
+            dh, dc = carry
+            i = chunk - 1 - k
+            t = t0 + i
+            h_prev = hprev_ref[:, i, :]
+            c_prev = cprev_ref[:, i, :]
+            c_t = call_ref[:, i, :]
+            gates = xproj_ref[:, i, :] + jnp.dot(
+                h_prev, whh_ref[:], preferred_element_type=jnp.float32)
+            i_g = jax.nn.sigmoid(gates[:, :hidden])
+            f_g = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+            g_g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+            o_g = jax.nn.sigmoid(gates[:, 3 * hidden:])
+            tc = jnp.tanh(c_t)
+            do = dh * tc * o_g * (1.0 - o_g)
+            dct = dc + dh * o_g * (1.0 - tc * tc)
+            di = dct * g_g * i_g * (1.0 - i_g)
+            df = dct * c_prev * f_g * (1.0 - f_g)
+            dg = dct * i_g * (1.0 - g_g * g_g)
+            dgates = jnp.concatenate([di, df, dg, do], axis=1)
+            active = t < lengths  # (Bb, 1)
+            dgates = jnp.where(active, dgates, 0.0)
+            dx_ref[:, i, :] = dgates
+            # dW += h_{t-1}ᵀ · dgates  (contract the batch dim).  Mask
+            # h_prev too: time/batch pad lanes hold undefined VMEM data, and
+            # garbage · 0 would NaN if the garbage were inf.
+            dw_ref[:] = dw_ref[:] + jax.lax.dot_general(
+                jnp.where(active, h_prev, 0.0), dgates,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # inactive steps pass the adjoints straight through (the forward
+            # froze the state there)
+            dh_new = jnp.where(
+                active,
+                jax.lax.dot_general(dgates, whh_ref[:],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32),
+                dh)
+            dc_new = jnp.where(active, dct * f_g, dc)
+            return dh_new, dc_new
+
+        dh, dc = jax.lax.fori_loop(0, chunk, body, (dh_ref[:], dc_ref[:]),
+                                   unroll=chunk if unroll else 1)
+        dh_ref[:] = dh
+        dc_ref[:] = dc
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_forward_stash(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+                          lengths: jnp.ndarray, interpret: bool = False):
+    b, t, four_h = x_proj.shape
+    hidden = four_h // 4
+    b_block, chunk = _pick_blocks(b, four_h)
+    grid = (pl.cdiv(b, b_block), pl.cdiv(t, chunk))
+
+    grid_spec = pl.GridSpec(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_block, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, chunk, four_h), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, four_h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_block, hidden), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, chunk, hidden), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, chunk, hidden), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_block, hidden), jnp.float32),
+            pltpu.VMEM((b_block, hidden), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _make_stash_kernel(chunk, unroll=not interpret),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, hidden), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths.astype(jnp.int32).reshape(b, 1), x_proj.astype(jnp.float32),
+      w_hh.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_backward(x_proj: jnp.ndarray, w_hh: jnp.ndarray,
+                     lengths: jnp.ndarray, h_all: jnp.ndarray,
+                     c_all: jnp.ndarray, g: jnp.ndarray,
+                     interpret: bool = False):
+    b, t, four_h = x_proj.shape
+    hidden = four_h // 4
+    # The backward streams ~11 (B,chunk,H)-equivalents vs the forward's 8;
+    # shrink the time chunk accordingly so the double-buffers still fit.
+    b_block, chunk = _pick_blocks(b, four_h * 3 // 2)
+    grid = (pl.cdiv(b, b_block), pl.cdiv(t, chunk))
+    num_b, num_t = grid
+
+    zeros = jnp.zeros((b, 1, hidden), jnp.float32)
+    h_prev = jnp.concatenate([zeros, h_all[:, :-1]], axis=1)
+    c_prev = jnp.concatenate([zeros, c_all[:, :-1]], axis=1)
+
+    # Batch-pad lanes would otherwise read undefined lengths and pollute the
+    # dW reduction: pad lengths with 0 so every pad lane is always inactive.
+    lengths = lengths.astype(jnp.int32)
+    bp = num_b * b_block
+    if bp != b:
+        lengths = jnp.pad(lengths, (0, bp - b))
+
+    rev_t = lambda i, j: (i, num_t - 1 - j, 0)
+    grid_spec = pl.GridSpec(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_block, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, chunk, four_h), rev_t,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, chunk, hidden), rev_t,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, chunk, hidden), rev_t,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, chunk, hidden), rev_t,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, four_h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_block, hidden), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_block, chunk, four_h), rev_t,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, four_h), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b_block, hidden), jnp.float32),
+            pltpu.VMEM((b_block, hidden), jnp.float32),
+        ],
+    )
+    dx, dw = pl.pallas_call(
+        _make_bwd_kernel(chunk, num_t, num_b, unroll=not interpret),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, four_h), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, four_h), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths.reshape(-1, 1), x_proj.astype(jnp.float32),
+      h_prev, c_prev, c_all, w_hh.astype(jnp.float32),
+      g.astype(jnp.float32))
+    return dx.astype(x_proj.dtype), dw.astype(w_hh.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -43,23 +43,45 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     return w
 
 
-def resize_align_corners(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+def resize_align_corners(x: jnp.ndarray, out_hw: tuple[int, int],
+                         out_pack: int = 1):
     """Bilinear align-corners resize of an NHWC tensor to ``out_hw``.
 
     Exactly matches ``torch.nn.functional.interpolate(x_nchw, size=out_hw,
     mode='bilinear', align_corners=True)`` up to float associativity.
+
+    ``out_pack=s`` emits the result directly in the lane-packed form
+    (B, oh, ow/s, s*C) consumed by ``ops.packed_conv`` — the W-pass einsum
+    produces the packed channel order natively, so the consumer's pack
+    reshape (a full-tensor layout copy on TPU when the einsum output layout
+    disagrees — ~0.3 ms per decoder node at 256²) never exists.
     """
+    from maunet_tpu.ops.packed_conv import Packed
+
     b, h, w, c = x.shape
     oh, ow = out_hw
-    if (h, w) == (oh, ow):
+    if (h, w) == (oh, ow) and out_pack == 1:
         return x
     dtype = x.dtype
     wh = jnp.asarray(_interp_matrix(h, oh), dtype=dtype)
-    ww = jnp.asarray(_interp_matrix(w, ow), dtype=dtype)
+    if out_pack > 1:
+        s = out_pack
+        assert ow % s == 0, (out_hw, s)
+        # W-pass FIRST, at the source height: the packed W-einsum's 5-D
+        # (…, g, p, c) intermediate is the one shape XLA re-lays out, so
+        # running it before the H upsample halves the data moving through
+        # it; the H-pass then operates on the already-packed channels
+        # (a plain matmul, layout-friendly).  H∘W == W∘H exactly up to
+        # float associativity (both separable linear maps).
+        wwp = jnp.asarray(_interp_matrix(w, ow).reshape(ow // s, s, w), dtype)
+        z = jnp.einsum("gpw,bhwc->bhgpc", wwp, x).reshape(b, h, ow // s, s * c)
+        if h != oh:
+            z = jnp.einsum("oh,bhgc->bogc", wh, z)
+        return Packed(z, c)
     # (oh, h) @ (b, h, w*c) -> contract over h, then same over w.
-    y = jnp.einsum("oh,bhwc->bowc", wh, x)
-    y = jnp.einsum("pw,bhwc->bhpc", ww, y)
-    return y
+    y = x if h == oh else jnp.einsum("oh,bhwc->bowc", wh, x)
+    ww = jnp.asarray(_interp_matrix(w, ow), dtype=dtype)
+    return y if w == ow else jnp.einsum("pw,bhwc->bhpc", ww, y)
 
 
 def upsample_align_corners(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
@@ -70,7 +92,7 @@ def upsample_align_corners(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
 
 
 def upsample_like(x: jnp.ndarray, target_hw: tuple[int, int],
-                  pre_scale: int | None = 2) -> jnp.ndarray:
+                  pre_scale: int | None = 2, out_pack: int = 1):
     """Replicates the reference decoder's upsample-then-fix-size composition.
 
     The U-Net decoder applies ``self.up`` (scale-2 align-corners upsample) and
@@ -80,10 +102,11 @@ def upsample_like(x: jnp.ndarray, target_hw: tuple[int, int],
     single 15→31 resize — we reproduce both steps bit-faithfully.
 
     ``pre_scale=None`` performs a single resize to ``target_hw`` — the U-Net++
-    behaviour (reference src/model.py:111-121).
+    behaviour (reference src/model.py:111-121).  ``out_pack=s`` returns the
+    lane-packed form (see :func:`resize_align_corners`).
     """
     if pre_scale is not None:
         x = upsample_align_corners(x, pre_scale)
-    if x.shape[1:3] != tuple(target_hw):
-        x = resize_align_corners(x, tuple(target_hw))
+    if x.shape[1:3] != tuple(target_hw) or out_pack > 1:
+        x = resize_align_corners(x, tuple(target_hw), out_pack=out_pack)
     return x

@@ -49,6 +49,36 @@ def test_lstm_kernel_large_batch_matches_scan(rng):
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("b,t,hd,lengths", [
+    (2, 150, 8, [150, 90]),      # batch pad lanes (b < block) + masked tail
+    (2, 128, 16, [128, 128]),    # exactly one time chunk
+    (3, 300, 16, [300, 150, 40]),  # partial final chunk, reversed blocks
+])
+def test_lstm_pallas_backward_matches_scan_vjp(rng, b, t, hd, lengths):
+    """The Pallas backward kernel (time-reversed scan with recomputed gates)
+    must match the scan implementation's gradients, including per-sample
+    length masking and the dW reduction excluding pad lanes."""
+    from maunet_tpu.ops.pallas.lstm import _pallas_backward, _pallas_forward_stash
+
+    x_proj = jnp.asarray(rng.normal(size=(b, t, 4 * hd)), jnp.float32)
+    w_hh = jnp.asarray(rng.normal(size=(hd, 4 * hd)) * 0.1, jnp.float32)
+    lens = jnp.asarray(lengths, jnp.int32)
+
+    h_last, h_all, c_all = _pallas_forward_stash(x_proj, w_hh, lens,
+                                                 interpret=True)
+    ref = lstm_last_hidden_scan(x_proj, w_hh, lens)
+    np.testing.assert_allclose(np.asarray(h_last), np.asarray(ref), atol=1e-5)
+
+    g = jnp.asarray(rng.normal(size=(b, hd)), jnp.float32)
+    dx, dw = _pallas_backward(x_proj, w_hh, lens, h_all, c_all, g,
+                              interpret=True)
+    _, vjp = jax.vjp(lambda x, w: lstm_last_hidden_scan(x, w, lens),
+                     x_proj, w_hh)
+    dx_ref, dw_ref = vjp(g)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), atol=1e-4)
+
+
 def test_lstm_custom_vjp_grads_match_scan(rng):
     """Training through the pallas backend: the custom VJP must produce the
     scan implementation's gradients."""
@@ -59,17 +89,22 @@ def test_lstm_custom_vjp_grads_match_scan(rng):
     w_hh = jnp.asarray(rng.normal(size=(hd, 4 * hd)) * 0.1, jnp.float32)
     lens = jnp.asarray([150, 90], jnp.int32)
 
-    orig = plstm._pallas_forward
-
-    def interpreted(x, w, l, interpret=False):
-        return orig(x, w, l, interpret=True)
-
-    plstm._pallas_forward = interpreted
+    orig_fwd = plstm._pallas_forward
+    orig_stash = plstm._pallas_forward_stash
+    orig_bwd = plstm._pallas_backward
+    plstm._pallas_forward = lambda x, w, l, interpret=False: \
+        orig_fwd(x, w, l, interpret=True)
+    plstm._pallas_forward_stash = lambda x, w, l, interpret=False: \
+        orig_stash(x, w, l, interpret=True)
+    plstm._pallas_backward = lambda *a, interpret=False: \
+        orig_bwd(*a, interpret=True)
     try:
         loss_pallas = lambda x, w: jnp.sum(plstm.lstm_last_hidden(x, w, lens) ** 2)
         gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(x_proj, w_hh)
     finally:
-        plstm._pallas_forward = orig
+        plstm._pallas_forward = orig_fwd
+        plstm._pallas_forward_stash = orig_stash
+        plstm._pallas_backward = orig_bwd
     loss_scan = lambda x, w: jnp.sum(lstm_last_hidden_scan(x, w, lens) ** 2)
     gx_s, gw_s = jax.grad(loss_scan, argnums=(0, 1))(x_proj, w_hh)
     np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), atol=1e-5)
