@@ -281,6 +281,28 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_export_optuna(args) -> int:
+    from maunet_tpu.train.optuna_storage import export_study_to_sqlite
+
+    export_study_to_sqlite(args.json_path, args.db_path)
+    return 0
+
+
+def cmd_import_optuna(args) -> int:
+    from maunet_tpu.train.optuna_storage import import_study_from_sqlite
+
+    import_study_from_sqlite(args.db_path, args.json_path,
+                             study_name=args.study_name)
+    return 0
+
+
+def cmd_science(args) -> int:
+    from maunet_tpu.analysis.science import run_science_loop
+
+    run_science_loop(work_dir=args.work_dir, hw=args.hw, epochs=args.epochs)
+    return 0
+
+
 def cmd_eda(args) -> int:
     from maunet_tpu.analysis import eda
 
@@ -418,6 +440,28 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("csvs", nargs="+")
     sp.add_argument("--output-dir", default="reports/statistical_tests")
     sp.set_defaults(fn=cmd_stats)
+
+    sp = sub.add_parser("export-optuna",
+                        help="JSON HPO study → optuna SQLite DB "
+                             "(readable by optuna-dashboard)")
+    sp.add_argument("json_path")
+    sp.add_argument("db_path")
+    sp.set_defaults(fn=cmd_export_optuna)
+
+    sp = sub.add_parser("import-optuna",
+                        help="optuna SQLite DB → JSON HPO study")
+    sp.add_argument("db_path")
+    sp.add_argument("json_path")
+    sp.add_argument("--study-name", default=None)
+    sp.set_defaults(fn=cmd_import_optuna)
+
+    sp = sub.add_parser("science-loop",
+                        help="planted-signal ablation: train 4 variants, "
+                             "evaluate, stats, sensitivity")
+    sp.add_argument("--work-dir", default="reports/science")
+    sp.add_argument("--hw", type=int, default=64)
+    sp.add_argument("--epochs", type=int, default=6)
+    sp.set_defaults(fn=cmd_science)
 
     sp = sub.add_parser("eda", help="dataset EDA tools")
     esub = sp.add_subparsers(dest="eda_command", required=True)

@@ -206,6 +206,75 @@ def test_hpo_default_search_space_draws_distinct_params(tmp_path):
     assert study2.trials[0].params["learning_rate"] == seen[0][0]
 
 
+def test_optuna_storage_roundtrip(tmp_path):
+    """JSON study → optuna-3.x SQLite → JSON roundtrip preserves trials
+    (states, values, params incl. categorical, intermediate reports) and the
+    DB carries the alembic/version rows optuna's RDBStorage checks
+    (reference src/train.py:334-341 stores studies in SQLite for
+    optuna-dashboard)."""
+    import sqlite3
+
+    from maunet_tpu.train.optuna_storage import (export_study_to_sqlite,
+                                                 import_study_from_sqlite)
+
+    def objective(trial):
+        lr = trial.suggest_float("lr", 1e-5, 1e-2, log=True)
+        opt = trial.suggest_categorical("opt", ["adam", "sgd"])
+        nest = trial.suggest_categorical("nesterov", [True, False])
+        layers = trial.suggest_int("layers", 1, 4)
+        assert opt in ("adam", "sgd") and isinstance(nest, bool)
+        for epoch in range(3):
+            trial.report(lr * (epoch + 1), epoch)
+            if trial.should_prune():
+                raise TrialPruned()
+        return lr + layers * 0.0
+
+    study = create_study("rt", storage_dir=str(tmp_path),
+                         pruner=MedianPruner(n_startup_trials=2))
+    study.optimize(objective, n_trials=5)
+
+    json_path = str(tmp_path / "rt.json")
+    db_path = str(tmp_path / "rt.db")
+    export_study_to_sqlite(json_path, db_path)
+
+    con = sqlite3.connect(db_path)
+    try:
+        assert con.execute("SELECT version_num FROM alembic_version"
+                           ).fetchone() is not None
+        assert con.execute("SELECT COUNT(*) FROM trials").fetchone()[0] == 5
+        direction, = con.execute(
+            "SELECT direction FROM study_directions").fetchone()
+        assert direction == "MINIMIZE"
+        n_params = con.execute(
+            "SELECT COUNT(*) FROM trial_params").fetchone()[0]
+        assert n_params == 5 * 4
+    finally:
+        con.close()
+
+    back_path = str(tmp_path / "back.json")
+    import_study_from_sqlite(db_path, back_path)
+    with open(json_path) as f:
+        orig = json.load(f)
+    with open(back_path) as f:
+        back = json.load(f)
+    assert back["study_name"] == orig["study_name"] == "rt"
+    assert back["direction"] == "minimize"
+    assert len(back["trials"]) == len(orig["trials"])
+    for a, b in zip(orig["trials"], back["trials"]):
+        assert a["number"] == b["number"]
+        assert a["state"] == b["state"]
+        assert a["params"] == b["params"]
+        if a["value"] is not None:
+            assert abs(a["value"] - b["value"]) < 1e-12
+        assert {k: float(v) for k, v in a["intermediate"].items()} == \
+               {k: float(v) for k, v in b["intermediate"].items()}
+    # the re-imported JSON is loadable by the Study machinery itself
+    import shutil
+    shutil.copy(back_path, str(tmp_path / "rt2.json"))
+    study2 = create_study("rt2", storage_dir=str(tmp_path))
+    assert len(study2.trials) == 5
+
+
 def test_hpo_tpe_sampler_concentrates(tmp_path):
     """TPE-lite beats random on a 1-D quadratic: after startup, samples
     cluster near the optimum x*=0.2."""
