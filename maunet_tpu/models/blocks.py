@@ -389,9 +389,16 @@ def max_pool_2x2(x: jnp.ndarray | Packed) -> jnp.ndarray:
                              xp[..., (2 * i + 1) * c:(2 * i + 2) * c])
                  for i in range(s // 2)]
         m = pairs[0] if len(pairs) == 1 else jnp.concatenate(pairs, axis=-1)
-        m = nn.max_pool(m, window_shape=(2, 1), strides=(2, 1), padding="VALID")
+        # H-pair max via reshape, not reduce_window: (h) -> (h/2, 2) is a
+        # free view and the pair-max vectorizes; reduce_window on the same
+        # tensor ran ~7x off bandwidth in the round-3 trace.
+        b, h, g, sc = m.shape
+        m = m.reshape(b, h // 2, 2, g, sc).max(axis=2)
         return Packed(m, c).unpack()
-    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2), padding="VALID")
+    b, h, w, c = x.shape
+    x = x[:, : h // 2 * 2, : w // 2 * 2]  # floor semantics for odd sizes
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.maximum(x[:, :, 0], x[:, :, 1]).max(axis=3)
 
 
 def broadcast_embeddings(emb: jnp.ndarray, h: int, w: int) -> jnp.ndarray:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,10 +52,13 @@ def resize_align_corners(x: jnp.ndarray, out_hw: tuple[int, int],
     mode='bilinear', align_corners=True)`` up to float associativity.
 
     ``out_pack=s`` emits the result directly in the lane-packed form
-    (B, oh, ow/s, s*C) consumed by ``ops.packed_conv`` — the W-pass einsum
-    produces the packed channel order natively, so the consumer's pack
-    reshape (a full-tensor layout copy on TPU when the einsum output layout
-    disagrees — ~0.3 ms per decoder node at 256²) never exists.
+    (B, oh, ow/s, s*C) consumed by ``ops.packed_conv``.
+
+    On TPU, supported shapes (the production tile chains) run as a fused
+    Pallas kernel (``ops/pallas/resize_pack.py``) whose canonical in/out
+    layouts kill the ~2 ms/step of relayout copies XLA's H-minor dot
+    layouts otherwise push into every consumer; other shapes (odd tiles,
+    CPU, interpreters) use the einsum path below.
     """
     from maunet_tpu.ops.packed_conv import Packed
 
@@ -62,26 +66,59 @@ def resize_align_corners(x: jnp.ndarray, out_hw: tuple[int, int],
     oh, ow = out_hw
     if (h, w) == (oh, ow) and out_pack == 1:
         return x
+    if jax.default_backend() == "tpu" and out_pack == 1:
+        from maunet_tpu.ops.pallas import resize_pack as rp
+
+        if rp.supported((h, w), (oh, ow), out_pack, c):
+            y = rp.resize_pack_vjp(x, (oh, ow), out_pack)
+            return Packed(y, c) if out_pack > 1 else y
     dtype = x.dtype
     wh = jnp.asarray(_interp_matrix(h, oh), dtype=dtype)
     if out_pack > 1:
         s = out_pack
         assert ow % s == 0, (out_hw, s)
-        # W-pass FIRST, at the source height: the packed W-einsum's 5-D
-        # (…, g, p, c) intermediate is the one shape XLA re-lays out, so
-        # running it before the H upsample halves the data moving through
-        # it; the H-pass then operates on the already-packed channels
-        # (a plain matmul, layout-friendly).  H∘W == W∘H exactly up to
-        # float associativity (both separable linear maps).
+        # W-pass FIRST, at the source height, as one einsum PER SUB-PIXEL
+        # PHASE: phase p's interpolation matrix (g, w) maps straight to a
+        # 4-D (b, h, g, c) einsum, and the channel-axis concat of the s
+        # phases IS the packed channel order (p·C + c).  The earlier 5-D
+        # single-einsum form ("gpw,bhwc->bhgpc" + reshape) left XLA a
+        # (b,h,g,p,c) intermediate it re-laid out — a full-tensor copy per
+        # decoder node, 4 × 0.15 ms/step at 256² in the round-3 trace.
+        # H∘W == W∘H exactly up to float associativity (both separable
+        # linear maps).
         wwp = jnp.asarray(_interp_matrix(w, ow).reshape(ow // s, s, w), dtype)
-        z = jnp.einsum("gpw,bhwc->bhgpc", wwp, x).reshape(b, h, ow // s, s * c)
+        z = jnp.concatenate(
+            [_wpass(wwp[:, p], x) for p in range(s)], axis=-1)
         if h != oh:
-            z = jnp.einsum("oh,bhgc->bogc", wh, z)
+            z = _hpass(wh, z)
         return Packed(z, c)
-    # (oh, h) @ (b, h, w*c) -> contract over h, then same over w.
-    y = x if h == oh else jnp.einsum("oh,bhwc->bowc", wh, x)
+    y = x if h == oh else _hpass(wh, x)
     ww = jnp.asarray(_interp_matrix(w, ow), dtype=dtype)
-    return y if w == ow else jnp.einsum("pw,bhwc->bhpc", ww, y)
+    return y if w == ow else _wpass(ww, y)
+
+
+def _hpass(wh: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(oh, h) ⊗ (b, h, w, c) → (b, oh, w, c), with ``b`` as a true dot
+    batch dim.  ``einsum("oh,bhwc->bowc")``'s dot emits (o, b, w, c) and the
+    trailing logical transpose becomes a deferred minor-H layout XLA pushes
+    into every consumer as a full-tensor copy (~0.1 ms each at 256², round-3
+    trace); batching over ``b`` makes the dot's natural output order the
+    layout-canonical one, so no transpose exists."""
+    b = x.shape[0]
+    whb = jnp.broadcast_to(wh, (b,) + wh.shape)  # fused into the dot by XLA
+    return jax.lax.dot_general(
+        whb, x, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=x.dtype)
+
+
+def _wpass(ww: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(ow, w) ⊗ (b, h, w, c) → (b, h, ow, c) with ``b, h`` as true dot
+    batch dims (same no-transpose rationale as :func:`_hpass`)."""
+    b, h = x.shape[:2]
+    wwb = jnp.broadcast_to(ww, (b, h) + ww.shape)
+    return jax.lax.dot_general(
+        wwb, x, (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=x.dtype)
 
 
 def upsample_align_corners(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:

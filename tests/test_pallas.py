@@ -1,5 +1,7 @@
 """Pallas kernel tests (interpret mode on the CPU backend)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -150,3 +152,49 @@ def test_temporal_encoder_backends_agree(rng):
         plstm._pallas_forward = orig
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_pallas),
                                atol=1e-5)
+
+
+def test_resize_pack_kernel_matches_einsum(rng):
+    """Fused Pallas resize (interpret) vs the einsum path, packed and
+    plain, across the production tile chains."""
+    from maunet_tpu.ops.pallas.resize_pack import resize_pack, supported
+    from maunet_tpu.ops.resize import resize_align_corners
+
+    cases = [(128, 128, 256, 256, 4, 64), (64, 64, 128, 128, 1, 128),
+             (16, 16, 32, 32, 4, 32), (32, 32, 64, 64, 2, 64),
+             (8, 8, 16, 16, 1, 256)]
+    for h, w, oh, ow, s, c in cases:
+        assert supported((h, w), (oh, ow), s, c), (h, w, oh, ow, s, c)
+        x = jnp.asarray(rng.normal(size=(2, h, w, c)), jnp.float32)
+        got = resize_pack(x, (oh, ow), s, interpret=True)
+        ref = resize_align_corners(x, (oh, ow), out_pack=s)
+        ref = ref.x if hasattr(ref, "x") else ref
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+    # odd / unsupported shapes fall back
+    assert not supported((25, 25), (50, 50), 1, 32)
+    assert not supported((15, 15), (31, 31), 1, 64)
+
+
+def test_resize_pack_vjp_matches_einsum_grad(rng, monkeypatch):
+    """The custom VJP (transposed-matrix einsum backward) equals the
+    autodiff gradient of the einsum resize."""
+    import maunet_tpu.ops.pallas.resize_pack as rp
+    from maunet_tpu.ops.resize import resize_align_corners
+
+    monkeypatch.setattr(
+        rp, "resize_pack",
+        functools.partial(rp.resize_pack.__wrapped__, interpret=True))
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)
+
+    def loss_kernel(x):
+        y = rp.resize_pack_vjp(x, (32, 32), 4)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_einsum(x):
+        y = resize_align_corners(x, (32, 32), out_pack=4).x
+        return jnp.sum(jnp.sin(y))
+
+    g1 = jax.grad(loss_kernel)(x)
+    g2 = jax.grad(loss_einsum)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
