@@ -40,9 +40,58 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from maunet_tpu.ops.packed_conv import Packed, pack, pack_factor, packed_conv
+from maunet_tpu.ops.packed_conv import (Packed, pack, pack_factor,
+                                        pack_weights, packed_conv)
 
 Parts = Union[jnp.ndarray, Sequence[jnp.ndarray]]
+
+
+def _fused_conv_epilogue(jobs, is_bcast, s: int, hw, features: int,
+                         bias: jnp.ndarray, epilogue, cd) -> Packed | None:
+    """Run the (virtual-concat conv → BN affine → ReLU) sequence as ONE
+    Pallas kernel (ops/pallas/packed_vgg) with canonical layouts pinned on
+    both sides.  ``jobs`` are (part, kernel-slice) pairs; broadcast parts
+    become the kernel's pre-affine ``add`` term via the closed-form conv.
+    Returns None when the kernel doesn't apply (CPU, unsupported shapes) —
+    caller falls back to the XLA path.
+    """
+    from maunet_tpu.ops.pallas import packed_vgg as pvgg
+
+    if not (jax.default_backend() == "tpu" or pvgg.INTERPRET):
+        return None
+    spatial = [(p, w) for p, w in jobs if not is_bcast(p)]
+    if not spatial:
+        return None
+    parts_x, wps, cins = [], [], []
+    for p, w in spatial:
+        if isinstance(p, Packed):
+            xp, cin = p.x, p.cin
+        else:
+            pb, ph, pw, pc = p.shape
+            if pw % s:
+                return None
+            xp, cin = p.reshape(pb, ph, pw // s, s * pc), pc
+        parts_x.append(xp.astype(cd))
+        wps.append(pack_weights(w, s)
+                   .reshape(3, (s + 2) * cin, s * features).astype(cd))
+        cins.append(cin)
+    if not pvgg.supported([q.shape for q in parts_x], tuple(cins),
+                          s, features):
+        return None
+    add = None
+    for p, w in jobs:
+        if is_bcast(p):
+            e = _const_conv(p, w, *hw, out_pack=s)
+            add = e if add is None else add + e
+    a, bvec = epilogue
+    a = a.astype(jnp.float32)
+    b_eff = bvec.astype(jnp.float32) + bias * a   # fold the conv bias
+    out = pvgg.packed_conv3x3_fused(
+        tuple(parts_x), tuple(wps), tuple(cins), s, features,
+        (jnp.tile(a, s), jnp.tile(b_eff, s)),
+        add=None if add is None else add.astype(cd),
+        relu=True, interpret=pvgg.INTERPRET)
+    return Packed(out, features)
 
 
 @functools.lru_cache(maxsize=64)
@@ -109,7 +158,7 @@ class SplitConv(nn.Module):
     out_packed: bool = False
 
     @nn.compact
-    def __call__(self, parts: Sequence[jnp.ndarray]):
+    def __call__(self, parts: Sequence[jnp.ndarray], epilogue=None):
         def c_of(p):
             return p.cin if isinstance(p, Packed) else p.shape[-1]
 
@@ -165,6 +214,13 @@ class SplitConv(nn.Module):
             jobs.append((p, jax.lax.slice_in_dim(kernel, off, off + c, axis=2)))
             off += c
 
+        if epilogue is not None:
+            assert self.out_packed, "epilogue implies a packed-resident output"
+            y = _fused_conv_epilogue(jobs, is_bcast, pack_s, hw,
+                                     self.features, bias, epilogue, cd)
+            if y is not None:
+                return y
+
         out = None
         for p, w in jobs:
             if is_bcast(p):
@@ -186,6 +242,14 @@ class SplitConv(nn.Module):
                 if isinstance(y, Packed):
                     y = y.x
             out = y if out is None else out + y
+        if epilogue is not None:
+            # XLA fallback of the fused path: same folded-affine arithmetic.
+            a, bv = epilogue
+            a = a.astype(jnp.float32)
+            b_eff = bv.astype(jnp.float32) + bias * a
+            y = (out.astype(jnp.float32) * jnp.tile(a, pack_s)
+                 + jnp.tile(b_eff, pack_s))
+            return Packed(jnp.maximum(y, 0.0).astype(cd), self.features)
         b_vec = bias.astype(out.dtype)
         if self.out_packed:
             return Packed(out + jnp.tile(b_vec, pack_s), self.features)
@@ -203,7 +267,7 @@ class PackedConv3x3(nn.Module):
     out_packed: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray | Packed):
+    def __call__(self, x: jnp.ndarray | Packed, epilogue=None):
         if isinstance(x, Packed):
             cin, s, width = x.cin, x.s, x.x.shape[2] * x.s
         else:
@@ -214,6 +278,24 @@ class PackedConv3x3(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
         cd = self.compute_dtype
+        if epilogue is not None:
+            assert self.out_packed, "epilogue implies a packed-resident output"
+            hw = ((x.x.shape[1], width) if isinstance(x, Packed)
+                  else x.shape[1:3])
+            y = _fused_conv_epilogue([(x, kernel)], lambda p: False, s, hw,
+                                     self.features, bias, epilogue, cd)
+            if y is None:
+                y = packed_conv(
+                    Packed(x.x.astype(cd), x.cin) if isinstance(x, Packed)
+                    else x.astype(cd),
+                    kernel.astype(cd), s, out_packed=True)
+                a, bv = epilogue
+                a = a.astype(jnp.float32)
+                b_eff = bv.astype(jnp.float32) + bias * a
+                z = (y.x.astype(jnp.float32) * jnp.tile(a, s)
+                     + jnp.tile(b_eff, s))
+                y = Packed(jnp.maximum(z, 0.0).astype(cd), self.features)
+            return y
         if isinstance(x, Packed):
             x = Packed(x.x.astype(cd), x.cin)
         else:
@@ -230,31 +312,39 @@ class BatchNormPacked(nn.Module):
 
     Declares the exact variable tree of ``nn.BatchNorm`` (params scale/bias,
     batch_stats mean/var, all shape ``(features,)``) so checkpoints are
-    interchangeable, and applies the same eval arithmetic —
-    ``(x - mean) * rsqrt(var + eps) * scale + bias`` in f32, with each
-    per-channel vector tiled ``s``× over the packed channel dim.  Used by the
-    packed-resident decoder path, where normalizing the packed tensor
-    directly avoids the unpack→BN→repack layout copies.
+    interchangeable, and applies the same eval arithmetic in its folded
+    affine form — ``x * a + b`` with ``a = scale·rsqrt(var+eps)``,
+    ``b = bias - mean·a`` — in f32, with each per-channel vector tiled
+    ``s``× over the packed channel dim.  Setup-style so :meth:`affine` can
+    hand the folded vectors to a fused conv epilogue (ops/pallas/packed_vgg)
+    without running the normalization as a separate op.
     """
 
     features: int
     s: int
     epsilon: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones_init(),
+                                (self.features,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros_init(),
+                               (self.features,), jnp.float32)
+        self.mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        self.var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+
+    def affine(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Folded (a, b) f32 vectors of length ``features`` (untiled)."""
+        a = self.scale * jax.lax.rsqrt(self.var.value + self.epsilon)
+        return a, self.bias - self.mean.value * a
+
     def __call__(self, xp: jnp.ndarray) -> jnp.ndarray:
-        scale = self.param("scale", nn.initializers.ones_init(),
-                           (self.features,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros_init(),
-                          (self.features,), jnp.float32)
-        mean = self.variable("batch_stats", "mean",
-                             lambda: jnp.zeros((self.features,), jnp.float32))
-        var = self.variable("batch_stats", "var",
-                            lambda: jnp.ones((self.features,), jnp.float32))
+        a, b = self.affine()
         tile = lambda v: jnp.tile(v, self.s)
-        y = (xp.astype(jnp.float32) - tile(mean.value)) * tile(
-            jax.lax.rsqrt(var.value + self.epsilon))
-        return y * tile(scale) + tile(bias)
+        return xp.astype(jnp.float32) * tile(a) + tile(b)
 
 
 class VGGBlock(nn.Module):
@@ -326,23 +416,29 @@ class VGGBlock(nn.Module):
         return x.astype(self.compute_dtype)
 
     def _call_packed(self, parts) -> Packed:
+        """Each (conv → BN → ReLU) runs as one fused epilogue: the BN's
+        folded affine (or identity, when BN is already folded into the conv
+        weights) rides the conv kernel's f32 accumulator — no separate
+        normalization op, no layout freedom between conv and activation."""
         cd = self.compute_dtype
         conv1 = SplitConv(self.middle_channels, compute_dtype=cd,
                           group_spatial=False, pack=True, out_packed=True,
                           name="conv1")
         conv2 = PackedConv3x3(self.out_channels, compute_dtype=cd,
                               out_packed=True, name="conv2")
-        y = conv1(parts)
         if self.bn_fused:
-            x = Packed(nn.relu(y.x).astype(cd), y.cin)
-            y2 = conv2(x)
-            return Packed(nn.relu(y2.x).astype(cd), y2.cin)
-        x = nn.relu(BatchNormPacked(self.middle_channels, y.s,
-                                    name="bn1")(y.x))
-        y2 = conv2(Packed(x.astype(cd), y.cin))
-        x = nn.relu(BatchNormPacked(self.out_channels, y2.s,
-                                    name="bn2")(y2.x))
-        return Packed(x.astype(cd), y2.cin)
+            ident = lambda n: (jnp.ones((n,), jnp.float32),
+                               jnp.zeros((n,), jnp.float32))
+            y = conv1(parts, epilogue=ident(self.middle_channels))
+            return conv2(y, epilogue=ident(self.out_channels))
+        width = max(p.x.shape[2] * p.s if isinstance(p, Packed)
+                    else p.shape[2] for p in parts)
+        s1 = pack_factor(self.middle_channels, width, min_s=4)
+        s2 = pack_factor(self.out_channels, width, min_s=4)
+        bn1 = BatchNormPacked(self.middle_channels, s1, name="bn1")
+        bn2 = BatchNormPacked(self.out_channels, s2, name="bn2")
+        y = conv1(parts, epilogue=bn1.affine())
+        return conv2(y, epilogue=bn2.affine())
 
 
 class PackedConv1x1(nn.Module):

@@ -1,0 +1,202 @@
+"""Lane-packed 3x3 conv with fused affine+ReLU epilogue (Pallas).
+
+The packed-resident U-Net++ decoder row (models/unetpp.py) chains
+``packed_conv`` ops in XLA.  XLA's conv emitter prefers H-minor layouts
+for the 3x1 packed convs and materializes the one-column halo tensors as
+separate HBM arrays, so every node pays relayout copies (~0.1 ms each at
+256²/B8) plus halo materialization.  This kernel computes the same
+contraction with the halos sliced out of VMEM (never materialized), the
+partial sums accumulated in f32 registers (never round-tripped through
+HBM), and the inference BatchNorm affine + ReLU folded into the epilogue —
+with canonical C-minor layouts pinned on both sides, composing copy-free
+with ``ops/pallas/resize_pack.py`` outputs and with itself across nodes.
+
+Math identical to ``ops.packed_conv.packed_conv`` (reference
+src/model.py:9-21 VGGBlock convs): per output group ``g``, three channel
+blocks — the previous group's last column, the group itself, the next
+group's first column — contract against ``pack_weights`` slices, with
+SAME zero-padding reproduced by zeroed halo rows/columns at the image
+edges.  Multiple input parts (the decoder's virtual concat) accumulate
+into one f32 sum, i.e. one rounding instead of one per part.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HW = 8  # halo block rows (min DMA granularity used for the ±1-row halo)
+
+# Test hook: run the kernel in interpret mode on CPU (monkeypatched by the
+# pack-equivalence tests; production gates on jax.default_backend()=='tpu').
+INTERPRET = False
+
+
+def supported(parts_shapes, cins, s: int, cout: int) -> bool:
+    """parts_shapes: [(B, H, G, s*cin_p)] of the packed inputs."""
+    if s < 2 or s * cout > 128:
+        return False
+    b, h, g, _ = parts_shapes[0]
+    if h % _HW or g % 8:
+        return False
+    for (pb, ph, pg, psc), cin in zip(parts_shapes, cins):
+        if (pb, ph, pg) != (b, h, g) or psc != s * cin or cin % 8:
+            return False
+    return _pick_bh(h, g, cins, s, cout) is not None
+
+
+def _pick_bh(h, g, cins, s, cout):
+    """Row-block size fitting double-buffered blocks PLUS the kernel's
+    f32 scratch (three accumulators + roll/mask temps, ~6 output blocks in
+    f32) into a 14 MB budget against the 16 MB VMEM scoped limit."""
+    in_row = sum(g * s * cin * 2 for cin in cins)
+    out_row = g * s * cout * 2                 # bf16; ×2 for the add term
+    for bh in (64, 32, 16, 8):
+        if h % bh:
+            continue
+        blocks = (bh + 2 * _HW) * in_row + 2 * bh * out_row
+        stack = 6 * bh * g * s * cout * 4
+        if 2 * blocks + stack <= (14 << 20):
+            return bh
+    return None
+
+
+def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
+                 has_affine: bool, has_add: bool, out_dtype):
+    n_parts = len(cins)
+
+    def kernel(*refs):
+        wps = refs[:n_parts]
+        k = n_parts
+        if has_affine:
+            a_ref, b_ref = refs[k], refs[k + 1]
+            k += 2
+        add_ref = None
+        if has_add:
+            add_ref = refs[k]
+            k += 1
+        parts = refs[k:k + 3 * n_parts]
+        out_ref = refs[k + 3 * n_parts]
+        pid = pl.program_id(1)
+        last = pl.num_programs(1) - 1
+
+        # Column-halo terms are computed IN PLACE (each group dotted with the
+        # halo weight slices) and the result — not the input — is shifted one
+        # group along the sublane axis (pltpu.roll + edge mask).  Shifting
+        # inputs would need concats of lane/sublane-offset slices, which
+        # Mosaic does not lower; shifting the f32 accumulator is one aligned
+        # roll, and being linear it happens ONCE after summing all parts.
+        acc = accl = accr = None
+        for p in range(n_parts):
+            top, main, bot = parts[3 * p], parts[3 * p + 1], parts[3 * p + 2]
+            x = main[0]                                   # (bh, G, s*cin)
+            cin = cins[p]
+            zrow = jnp.zeros_like(top[0, :1])
+            above = jnp.where(pid == 0, zrow, top[0, -1:])
+            below = jnp.where(pid == last, zrow, bot[0, :1])
+            xh = jnp.concatenate([above, x, below], axis=0)  # (bh+2, G, sc)
+            xl = xh[:, :, (s - 1) * cin:]   # last column of each group
+            xr = xh[:, :, :cin]             # first column of each group
+            wp = wps[p]            # (3, (s+2)*cin, s*cout)
+            for dy in range(3):
+                dot = lambda t, lo, hi: jax.lax.dot_general(
+                    t[dy:dy + bh].reshape(bh * t.shape[1], -1),
+                    wp[dy, lo:hi], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                m = dot(xh, cin, (s + 1) * cin)
+                l = dot(xl, 0, cin)
+                r = dot(xr, (s + 1) * cin, (s + 2) * cin)
+                acc = m if acc is None else acc + m
+                accl = l if accl is None else accl + l
+                accr = r if accr is None else accr + r
+        g = out_ref.shape[2]
+        sh = (bh, g, s * cout)
+        gidx = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+        # left-halo: group g consumes group g-1's last column (zero at g=0)
+        accl = jnp.where(gidx == 0, 0.0,
+                         pltpu.roll(accl.reshape(sh), 1, 1))
+        # right-halo: group g consumes group g+1's first column (zero at G-1)
+        accr = jnp.where(gidx == g - 1, 0.0,
+                         pltpu.roll(accr.reshape(sh), g - 1, 1))
+        acc = acc.reshape(sh) + accl + accr
+        if has_add:
+            # Pre-affine additive term (the decoder's closed-form broadcast
+            # embedding contribution): part of the virtual-concat conv sum,
+            # so it lands before the BN affine.
+            acc = acc + add_ref[0].astype(jnp.float32)
+        if has_affine:
+            acc = acc * a_ref[0] + b_ref[0]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        out_ref[0] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cins", "s", "cout", "relu",
+                                             "interpret"))
+def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
+                         wps: tuple[jnp.ndarray, ...],
+                         cins: tuple[int, ...], s: int, cout: int,
+                         affine: tuple[jnp.ndarray, jnp.ndarray] | None,
+                         add: jnp.ndarray | None = None,
+                         relu: bool = False,
+                         interpret: bool = False) -> jnp.ndarray:
+    """3x3 SAME conv over a virtual concat of lane-packed parts.
+
+    parts[p]: (B, H, G, s*cin_p); wps[p]: the ``pack_weights`` tensor
+    reshaped to (3, (s+2)*cin_p, s*cout); ``add``: optional (B, H, G, s*cout)
+    term summed into the conv result *before* the affine (the decoder's
+    broadcast-embedding contribution); ``affine``: optional (scale, bias)
+    vectors of length s*cout applied as ``y*scale + bias`` before the
+    optional ReLU (inference BN / folded conv bias).
+    Returns (B, H, G, s*cout).
+    """
+    b, h, g, _ = parts[0].shape
+    bh = _pick_bh(h, g, cins, s, cout)
+    assert bh is not None, (parts[0].shape, cins, s, cout)
+    nhb, mh = h // _HW, bh // _HW
+    dtype = parts[0].dtype
+
+    wp_specs = [pl.BlockSpec(w.shape, lambda bi, i: (0, 0, 0)) for w in wps]
+    affine_specs, affine_args = [], []
+    if affine is not None:
+        a, bvec = affine
+        affine_args = [a.reshape(1, -1).astype(jnp.float32),
+                       bvec.reshape(1, -1).astype(jnp.float32)]
+        affine_specs = [pl.BlockSpec((1, s * cout), lambda bi, i: (0, 0))
+                        for _ in range(2)]
+    add_specs, add_args = [], []
+    if add is not None:
+        add_specs = [pl.BlockSpec((1, bh, g, s * cout),
+                                  lambda bi, i: (bi, i, 0, 0))]
+        add_args = [add]
+    part_specs, part_args = [], []
+    for p in parts:
+        sc = p.shape[-1]
+        part_specs += [
+            pl.BlockSpec((1, _HW, g, sc),
+                         lambda bi, i: (bi, jnp.maximum(i * mh - 1, 0),
+                                        0, 0)),
+            pl.BlockSpec((1, bh, g, sc), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, _HW, g, sc),
+                         lambda bi, i: (bi, jnp.minimum(i * mh + mh,
+                                                        nhb - 1), 0, 0)),
+        ]
+        part_args += [p, p, p]
+
+    out = pl.pallas_call(
+        _make_kernel(bh, cins, s, cout, relu, affine is not None,
+                     add is not None, dtype),
+        grid=(b, h // bh),
+        in_specs=wp_specs + affine_specs + add_specs + part_specs,
+        out_specs=pl.BlockSpec((1, bh, g, s * cout),
+                               lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, g, s * cout), dtype),
+        interpret=interpret,
+    )(*wps, *affine_args, *add_args, *part_args)
+    return out

@@ -198,3 +198,78 @@ def test_resize_pack_vjp_matches_einsum_grad(rng, monkeypatch):
     g1 = jax.grad(loss_kernel)(x)
     g2 = jax.grad(loss_einsum)(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_packed_vgg_kernel_matches_xla(rng):
+    """Fused packed conv+affine+ReLU kernel (interpret) vs the part-wise
+    packed_conv path, with and without the pre-affine add term."""
+    from maunet_tpu.ops.packed_conv import pack, pack_weights, packed_conv
+    from maunet_tpu.ops.pallas.packed_vgg import (packed_conv3x3_fused,
+                                                  supported)
+
+    b, h, w, s, cout = 2, 32, 64, 4, 32
+    cins = (32, 32, 16)
+    xs = [jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+          for c in cins]
+    ks = [jnp.asarray(rng.normal(size=(3, 3, c, cout)) * 0.1, jnp.float32)
+          for c in cins]
+    scale = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    add = jnp.asarray(rng.normal(size=(b, h, w // s, s * cout)), jnp.float32)
+
+    conv_sum = sum(packed_conv(pack(x, s), k, s, out_packed=True).x
+                   for x, k in zip(xs, ks))
+    parts = tuple(pack(x, s).x for x in xs)
+    wps = tuple(pack_weights(k, s).reshape(3, (s + 2) * c, s * cout)
+                for k, c in zip(ks, cins))
+    assert supported([p.shape for p in parts], cins, s, cout)
+
+    for extra in (None, add):
+        ref = conv_sum if extra is None else conv_sum + extra
+        ref = jnp.maximum(ref * jnp.tile(scale, s) + jnp.tile(bias, s), 0.0)
+        got = packed_conv3x3_fused(
+            parts, wps, cins, s, cout,
+            (jnp.tile(scale, s), jnp.tile(bias, s)),
+            add=extra, relu=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+    # unsupported shapes gate out
+    assert not supported([(2, 32, 64, 4 * 23)], (23,), 4, 32)   # cin % 8
+    assert not supported([(2, 30, 64, 128)], (32,), 4, 32)      # h % 8
+
+
+def test_packed_vgg_fused_model_matches_fallback(rng):
+    """MetaUNetPP inference through the fused conv+BN+ReLU epilogue kernel
+    (INTERPRET hook) equals the XLA packed fallback and the unpacked path,
+    with randomized BN statistics."""
+    import maunet_tpu.ops.pallas.packed_vgg as pvgg
+    from maunet_tpu.models.factory import UrbanPredictor
+
+    args = (jnp.asarray(rng.normal(size=(2, 32, 32, 23)), jnp.float32),
+            jnp.asarray(rng.normal(size=(2, 48)), jnp.float32),
+            jnp.asarray(rng.normal(size=(2, 8)), jnp.float32),
+            jnp.full((2,), 48, jnp.int32))
+    kw = dict(base_filters=8, temporal_dim=8, meta_dim=8, lstm_dim=8,
+              compute_dtype=jnp.float32)
+    m = UrbanPredictor("unet++", pack_lanes=True, **kw)
+    v = m.init(jax.random.PRNGKey(0), *args)
+    # randomize BN stats so the folded affine is nontrivial
+    v = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + jnp.asarray(
+            np.abs(rng.normal(size=x.shape)) * 0.3, x.dtype)
+        if any(getattr(k, "key", None) == "batch_stats" or
+               getattr(k, "key", None) in ("mean", "var", "scale", "bias")
+               for k in p) else x, v)
+    base = m.apply(v, *args)
+    assert not pvgg.INTERPRET
+    pvgg.INTERPRET = True
+    try:
+        fused = m.apply(v, *args)
+    finally:
+        pvgg.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               atol=5e-5, rtol=1e-4)
+    m0 = UrbanPredictor("unet++", pack_lanes=False, **kw)
+    unpacked = m0.apply(v, *args)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unpacked),
+                               atol=5e-5, rtol=1e-4)
