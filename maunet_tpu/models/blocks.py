@@ -70,6 +70,15 @@ def _fused_conv_epilogue(jobs, is_bcast, s: int, hw, features: int,
             pb, ph, pw, pc = p.shape
             if pw % s:
                 return None
+            padc = (-pc) % 8
+            if padc:
+                # The kernel's halo slices need 8-aligned channel blocks;
+                # zero-pad the channels (and the matching kernel rows) —
+                # zero channels contribute zero, and the pad fuses into
+                # the producer (e.g. the 23-channel input cast).
+                p = jnp.pad(p, ((0, 0),) * 3 + ((0, padc),))
+                w = jnp.pad(w, ((0, 0), (0, 0), (0, padc), (0, 0)))
+                pc += padc
             xp, cin = p.reshape(pb, ph, pw // s, s * pc), pc
         parts_x.append(xp.astype(cd))
         wps.append(pack_weights(w, s)
@@ -153,6 +162,11 @@ class SplitConv(nn.Module):
     # Lane-pack adjacent output columns when features < 128
     # (ops/packed_conv.py): s x MXU lane fill for (s+2)/3 x FLOPs.
     pack: bool = False
+    # Smallest pack factor worth taking (see ops.packed_conv.pack_factor):
+    # 4 for the XLA packed path (s=2 at 64 channels loses there), 2 when the
+    # caller routes through the fused Pallas kernel (halos from VMEM, fused
+    # epilogue — the two costs that made XLA's s=2 lose don't exist).
+    pack_min_s: int = 4
     # Return the lane-packed form (only meaningful when packing fires):
     # packed-resident decoder rows chain node->node without layout copies.
     out_packed: bool = False
@@ -184,7 +198,7 @@ class SplitConv(nn.Module):
         # fires the spatial concat is pure overhead (measured: U-Net++ 17.9
         # -> 16.2 ms/batch ungrouped).  Grouping only pays for *unpacked*
         # narrow convs (odd tile widths where pack_factor returns 1).
-        pack_s = (pack_factor(self.features, hw[1], min_s=4)
+        pack_s = (pack_factor(self.features, hw[1], min_s=self.pack_min_s)
                   if self.pack else 1)
         group = self.group_spatial and pack_s == 1
         if pack_s == 1:
@@ -264,6 +278,7 @@ class PackedConv3x3(nn.Module):
 
     features: int
     compute_dtype: jnp.dtype = jnp.bfloat16
+    pack_min_s: int = 4  # see SplitConv.pack_min_s
     out_packed: bool = False
 
     @nn.compact
@@ -272,7 +287,7 @@ class PackedConv3x3(nn.Module):
             cin, s, width = x.cin, x.s, x.x.shape[2] * x.s
         else:
             cin, width = x.shape[-1], x.shape[2]
-            s = pack_factor(self.features, width, min_s=4)
+            s = pack_factor(self.features, width, min_s=self.pack_min_s)
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
@@ -370,6 +385,8 @@ class VGGBlock(nn.Module):
     group_spatial: bool = False
     # See SplitConv.pack.
     pack: bool = False
+    # See SplitConv.pack_min_s.
+    pack_min_s: int = 4
     # Packed-resident inference: inputs may be Packed, the output stays
     # Packed, and BN/ReLU run in packed space (BatchNormPacked) — no
     # unpack/repack layout copies between chained blocks.  Inference-only
@@ -386,10 +403,11 @@ class VGGBlock(nn.Module):
             "Packed parts require packed_io"
         conv1 = SplitConv(self.middle_channels, compute_dtype=self.compute_dtype,
                           group_spatial=self.group_spatial, pack=self.pack,
-                          name="conv1")
+                          pack_min_s=self.pack_min_s, name="conv1")
         if self.pack:
             conv2 = PackedConv3x3(self.out_channels,
-                                  compute_dtype=self.compute_dtype, name="conv2")
+                                  compute_dtype=self.compute_dtype,
+                                  pack_min_s=self.pack_min_s, name="conv2")
         else:
             conv2 = nn.Conv(self.out_channels, kernel_size=(3, 3),
                             padding="SAME", dtype=self.compute_dtype,
@@ -423,9 +441,10 @@ class VGGBlock(nn.Module):
         cd = self.compute_dtype
         conv1 = SplitConv(self.middle_channels, compute_dtype=cd,
                           group_spatial=False, pack=True, out_packed=True,
-                          name="conv1")
+                          pack_min_s=self.pack_min_s, name="conv1")
         conv2 = PackedConv3x3(self.out_channels, compute_dtype=cd,
-                              out_packed=True, name="conv2")
+                              out_packed=True, pack_min_s=self.pack_min_s,
+                              name="conv2")
         if self.bn_fused:
             ident = lambda n: (jnp.ones((n,), jnp.float32),
                                jnp.zeros((n,), jnp.float32))
@@ -433,8 +452,8 @@ class VGGBlock(nn.Module):
             return conv2(y, epilogue=ident(self.out_channels))
         width = max(p.x.shape[2] * p.s if isinstance(p, Packed)
                     else p.shape[2] for p in parts)
-        s1 = pack_factor(self.middle_channels, width, min_s=4)
-        s2 = pack_factor(self.out_channels, width, min_s=4)
+        s1 = pack_factor(self.middle_channels, width, min_s=self.pack_min_s)
+        s2 = pack_factor(self.out_channels, width, min_s=self.pack_min_s)
         bn1 = BatchNormPacked(self.middle_channels, s1, name="bn1")
         bn2 = BatchNormPacked(self.out_channels, s2, name="bn2")
         y = conv1(parts, epilogue=bn1.affine())

@@ -35,6 +35,7 @@ def UrbanPredictor(
     bn_fused: bool = False,
     remat: bool = False,
     pack_lanes: bool | None = None,
+    pack_min_s: int | None = None,
 ) -> nn.Module:
     """Facade dispatch (reference src/model.py:295-326).
 
@@ -42,12 +43,17 @@ def UrbanPredictor(
     inputs at trace time (NHWC / (B, T)), so unlike the reference no
     ``spatial_channels``/``seq_len`` arguments are needed.
 
-    ``pack_lanes=None`` resolves to each model's measured-best default
-    (U-Net++: on — its 32-channel convs quadruple their MXU lane fill;
-    U-Net: off — s=2 packing loses on its 64-channel convs).
+    ``pack_lanes=None`` / ``pack_min_s=None`` resolve to each model's
+    measured-best defaults (v5e, 256²/B8): both models pack with min_s=2 —
+    the 32-channel rows pack at s=4 and the 64-channel rows at s=2 through
+    the fused Pallas kernel (inference only; the XLA s=2 fallback that made
+    round-2 keep the U-Net unpacked is bypassed on TPU).  Training packing
+    is gated inside the models (batch-stat BN keeps the unpacked path).
     """
     if pack_lanes is None:
-        pack_lanes = model_type == "unet++"
+        pack_lanes = True
+    if pack_min_s is None:
+        pack_min_s = 2
     if model_type == "unet":
         return MetaUNet(
             out_channels=out_channels,
@@ -62,6 +68,7 @@ def UrbanPredictor(
             bn_fused=bn_fused,
             remat=remat,
             pack_lanes=pack_lanes,
+            pack_min_s=pack_min_s,
         )
     if model_type == "unet++":
         return MetaUNetPP(
@@ -78,6 +85,7 @@ def UrbanPredictor(
             bn_fused=bn_fused,
             remat=remat,
             pack_lanes=pack_lanes,
+            pack_min_s=pack_min_s,
         )
     raise ValueError(f"Unsupported model_type: {model_type!r} (expected one of {MODEL_TYPES})")
 

@@ -45,6 +45,12 @@ class MetaUNetPP(nn.Module):
     # 23.3 -> 19.5 ms/batch (+20%), train step 59.0 -> 56.6 ms (+4%), with
     # identical parameters and outputs (exact transform).
     pack_lanes: bool = True
+    # Smallest pack factor worth taking.  4 restricts packing to the
+    # 32-channel level-0 row; 2 additionally packs the 64-channel level-1
+    # row through the fused Pallas kernel (ops/pallas/packed_vgg) — only
+    # profitable where that kernel fires (TPU inference), so the default
+    # stays 4 and the factory/benchmarks opt levels in per-backend.
+    pack_min_s: int = 4
 
     @nn.compact
     def __call__(
@@ -68,8 +74,12 @@ class MetaUNetPP(nn.Module):
         # full-tensor layout copies (~2.5 ms/step at 256², round-3 trace)
         # never exist.  Training keeps the unpacked path (batch-stat BN).
         widths = [maps.shape[2] // (2 ** i) for i in range(5)]
+        # Training keeps min_s=4: the s=2 rows only pay off through the fused
+        # Pallas inference kernel — the XLA packed path they'd take in the
+        # train step is the measured loser (docs/TRACE.md §6).
+        min_s = self.pack_min_s if not train else max(self.pack_min_s, 4)
         s_lvl = [
-            pack_factor(nb[i], widths[i], min_s=4)
+            pack_factor(nb[i], widths[i], min_s=min_s)
             if (self.pack_lanes and not train) else 1
             for i in range(5)
         ]
@@ -78,7 +88,7 @@ class MetaUNetPP(nn.Module):
         # dense conv and keep only the embedding part in closed form.
         vgg = lambda name, mid, out, lvl: block_cls(
             mid, out, compute_dtype=cd, bn_fused=self.bn_fused,
-            group_spatial=True, pack=self.pack_lanes,
+            group_spatial=True, pack=self.pack_lanes, pack_min_s=min_s,
             packed_io=s_lvl[lvl] > 1, name=name)
 
         def unpack(x):

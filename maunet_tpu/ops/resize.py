@@ -64,8 +64,14 @@ def resize_align_corners(x: jnp.ndarray, out_hw: tuple[int, int],
 
     b, h, w, c = x.shape
     oh, ow = out_hw
-    if (h, w) == (oh, ow) and out_pack == 1:
-        return x
+    if (h, w) == (oh, ow):
+        if out_pack == 1:
+            return x
+        # Identity resize straight to the packed form: a free reshape, not
+        # an identity-matrix einsum.
+        from maunet_tpu.ops.packed_conv import pack
+
+        return pack(x, out_pack)
     if jax.default_backend() == "tpu" and out_pack == 1:
         from maunet_tpu.ops.pallas import resize_pack as rp
 
@@ -143,6 +149,13 @@ def upsample_like(x: jnp.ndarray, target_hw: tuple[int, int],
     lane-packed form (see :func:`resize_align_corners`).
     """
     if pre_scale is not None:
+        h, w = x.shape[1:3]
+        if (h * pre_scale, w * pre_scale) == tuple(target_hw):
+            # The scale-2 upsample already lands on the target size, so the
+            # fix-up resize is the identity and the composition is one
+            # resize — emitted directly in the requested packed form.
+            return resize_align_corners(x, tuple(target_hw),
+                                        out_pack=out_pack)
         x = upsample_align_corners(x, pre_scale)
     if x.shape[1:3] != tuple(target_hw) or out_pack > 1:
         x = resize_align_corners(x, tuple(target_hw), out_pack=out_pack)

@@ -273,3 +273,47 @@ def test_packed_vgg_fused_model_matches_fallback(rng):
     unpacked = m0.apply(v, *args)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unpacked),
                                atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("model_type,min_s", [
+    ("unet++", 2),   # packs the 64-ch level-1 row at s=2 + level-0 at s=4
+    ("unet", 2),     # packs the 64-ch level-0 row at s=2
+])
+def test_packed_s2_rows_match_unpacked(rng, model_type, min_s):
+    """pack_min_s=2 routes the 64-channel rows through the fused kernel
+    (including the cin-padded 23-channel first conv): interpret-mode Pallas
+    and the XLA packed fallback must both match the unpacked model."""
+    import maunet_tpu.ops.pallas.packed_vgg as pvgg
+    from maunet_tpu.models.unet import MetaUNet
+    from maunet_tpu.models.unetpp import MetaUNetPP
+
+    args = (jnp.asarray(rng.normal(size=(2, 32, 32, 23)), jnp.float32),
+            jnp.asarray(rng.normal(size=(2, 48)), jnp.float32),
+            jnp.asarray(rng.normal(size=(2, 8)), jnp.float32),
+            jnp.full((2,), 48, jnp.int32))
+    cls = MetaUNet if model_type == "unet" else MetaUNetPP
+    # base_filters chosen so an s=2 row genuinely exists: unet level-0 at
+    # 64 ch; unet++ level-1 at 64 ch (level-0 packs at s=4).
+    kw = dict(base_filters=64 if model_type == "unet" else 32,
+              temporal_dim=8, meta_dim=8, lstm_dim=8,
+              compute_dtype=jnp.float32)
+    m0 = cls(pack_lanes=False, **kw)
+    v = m0.init(jax.random.PRNGKey(0), *args)
+    # randomize BN stats so the folded affine is nontrivial
+    v = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + jnp.asarray(
+            np.abs(rng.normal(size=x.shape)) * 0.3, x.dtype)
+        if any(getattr(k, "key", None) == "batch_stats" for k in p) else x, v)
+    base = m0.apply(v, *args)
+    m1 = cls(pack_lanes=True, pack_min_s=min_s, **kw)
+    fallback = m1.apply(v, *args)  # CPU: XLA packed path
+    np.testing.assert_allclose(np.asarray(fallback), np.asarray(base),
+                               atol=5e-5, rtol=1e-4)
+    assert not pvgg.INTERPRET
+    pvgg.INTERPRET = True
+    try:
+        fused = m1.apply(v, *args)
+    finally:
+        pvgg.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
+                               atol=5e-5, rtol=1e-4)
