@@ -24,7 +24,16 @@ attainable dataset with a *planted* signal (VERDICT r2 next #3):
 6. write reports/science/summary.json + a human-readable report.
 
 Run: ``python -m maunet_tpu.analysis.science --work-dir reports/science``
-(~15 min on one v5e chip at the default sizes).
+(~25 min on one v5e chip at the default sizes).
+
+Fixture notes (learned the hard way, round 3): latitude must carry real
+per-sample spread — with one latitude per city the lat/lon/pop features are
+perfectly collinear and the model can attribute the planted offset to any
+of them, flattening the latitude-only sweep.  And because the metadata MLP
+ingests RAW year features (~2020; parity with reference src/train.py:244 —
+no date normalization there either), the planted signal needs to be strong
+(default gain 1.5) and training long enough (16 epochs) for the latitude
+weight to grow against that conditioning.
 """
 
 from __future__ import annotations
@@ -108,10 +117,10 @@ def run_science_loop(
     temporal_len: int = 828,
     base_filters: int = 16,
     batch_size: int = 8,
-    epochs: int = 6,
+    epochs: int = 16,
     samples: dict | None = None,
-    meta_signal: float = 0.8,
-    temporal_signal: float = 0.5,
+    meta_signal: float = 1.5,
+    temporal_signal: float = 1.0,
     seed: int = 0,
     use_mesh: bool = False,
 ) -> dict:
@@ -281,7 +290,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--work-dir", default="reports/science")
     p.add_argument("--hw", type=int, default=64)
-    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--epochs", type=int, default=16)
     p.add_argument("--base-filters", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--temporal-len", type=int, default=828)

@@ -148,7 +148,14 @@ def generate_dataset(
             t1y = int(rng.integers(y0, y1))
             t2y = y1 if split != "train" else int(rng.integers(t1y, y1 + 1))
             t1m, t2m = int(rng.integers(1, 13)), int(rng.integers(1, 13))
-            jitter = rng.uniform(-0.02, 0.02, size=2)
+            # Latitude gets real per-sample spread (±12°): with only 6
+            # cities a ±0.02° jitter leaves lat/lon/pop perfectly collinear,
+            # so a model could attribute a planted *latitude* offset to any
+            # of them and the latitude-only sensitivity sweep would read
+            # flat.  The planted signal follows the jittered value (meta[0]
+            # below), so latitude is identifiable.
+            jitter = np.array([rng.uniform(-12.0, 12.0),
+                               rng.uniform(-0.02, 0.02)])
             delta_t = (t2y - t1y) + (t2m - t1m) / 12.0
             meta = (np.array([lat + jitter[0], lon + jitter[1], pop, delta_t])
                     - np.array(stats.meta_mean)) / np.array(stats.meta_std)

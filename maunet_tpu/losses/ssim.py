@@ -40,9 +40,15 @@ def _depthwise_blur(x: jnp.ndarray, kernel1d: jnp.ndarray) -> jnp.ndarray:
     this also roughly halves the SSIM loss's backward cost."""
     c = x.shape[-1]
     size = kernel1d.shape[0]
+    # precision=HIGHEST: TPU lowers f32 convs to bf16 MXU passes by default,
+    # and the moment blurs feed the E[x²]−μ² cancellation below — with flat
+    # (clipped) windows, bf16 rounding makes σ² land near −C2 and the CS
+    # denominator crosses zero (observed: SSIM ≈ −495 on a bounded [0,1]
+    # input during a round-3 science run).  These 11-tap depthwise convs are
+    # bandwidth-bound, so exact f32 costs nothing measurable.
     kw = dict(window_strides=(1, 1), padding="VALID",
               dimension_numbers=("NHWC", "HWIO", "NHWC"),
-              feature_group_count=c)
+              feature_group_count=c, precision=lax.Precision.HIGHEST)
     k_h = jnp.broadcast_to(kernel1d[:, None, None, None], (size, 1, 1, c))
     k_w = jnp.broadcast_to(kernel1d[None, :, None, None], (1, size, 1, c))
     return lax.conv_general_dilated(
@@ -81,8 +87,12 @@ def ssim(
     mu_x = _depthwise_blur(x, kernel)
     mu_y = _depthwise_blur(y, kernel)
     mu_xx, mu_yy, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
-    sigma_xx = _depthwise_blur(x * x, kernel) - mu_xx
-    sigma_yy = _depthwise_blur(y * y, kernel) - mu_yy
+    # Variances are mathematically ≥ 0; the E[x²]−μ² form can round below
+    # zero, and a negative σxx+σyy can cancel C2 and unbound the score.
+    # Clamping is inactive for healthy inputs (piq parity unaffected) and
+    # bounds SSIM in [−1, 1] always.
+    sigma_xx = jnp.maximum(_depthwise_blur(x * x, kernel) - mu_xx, 0.0)
+    sigma_yy = jnp.maximum(_depthwise_blur(y * y, kernel) - mu_yy, 0.0)
     sigma_xy = _depthwise_blur(x * y, kernel) - mu_xy
 
     c1 = k1 ** 2

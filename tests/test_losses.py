@@ -142,3 +142,23 @@ def test_combined_loss_dict_and_registry(rng):
     assert get_loss_fn("mse") is compute_loss_mse
     with pytest.raises(NotImplementedError):
         get_loss_fn("huber")
+
+
+def test_ssim_bounded_on_flat_clipped_inputs():
+    """SSIM must stay in [-1, 1] even on flat (zero-variance) windows.
+
+    On TPU the moment blurs used to run as bf16 MXU passes; σ² = E[x²]−μ²
+    then rounds below zero on clipped-flat regions and the CS denominator
+    crosses zero — observed SSIM ≈ −495 in a round-3 science run.  The fix
+    (f32-exact blurs + σ² clamp) keeps the score bounded by construction.
+    """
+    import numpy as np
+
+    from maunet_tpu.losses.ssim import ssim
+
+    rng = np.random.RandomState(0)
+    # Mostly-saturated images with tiny noise: near-zero true variance.
+    x = np.clip(1.0 + 0.001 * rng.randn(2, 64, 64, 2), 0.0, 1.0)
+    y = np.clip(1.0 + 0.001 * rng.randn(2, 64, 64, 2), 0.0, 1.0)
+    s = np.asarray(ssim(jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)))
+    assert np.all(np.isfinite(s)) and np.all(np.abs(s) <= 1.0 + 1e-5), s
