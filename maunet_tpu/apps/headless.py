@@ -175,6 +175,11 @@ class FakeStreamlit(_Container):
         super().__init__(_Widgets(dict(answers or {})), calls=[], name="main")
         self.session_state = _SessionState()
         self.sidebar = _Container(self._w, self.calls, "sidebar")
+        # st.components.v1.html — used for the interactive architecture
+        # diagram (analysis/diagram_html.py)
+        self.components = types.SimpleNamespace(v1=types.SimpleNamespace(
+            html=lambda body, height=None, **kw:
+                self._rec("components_html", body, height=height)))
 
     def set_page_config(self, **kw):
         self._rec("set_page_config", kw.get("page_title"))

@@ -48,9 +48,22 @@ def page_model_browser(st, args):
     n = sum(int(x.size) for x in jax.tree_util.tree_leaves(
         loaded.variables["params"]))
     st.metric("Parameters", f"{n:,}")
+    # Interactive node graph (parity with the reference's streamlit-flow
+    # diagram, app_dev/app_src/model_diagram.py:8-222) — self-contained
+    # HTML/SVG so it needs no extra component package.
+    from maunet_tpu.analysis.diagram_html import model_diagram, render_html
+
+    try:
+        html_component = st.components.v1.html
+    except AttributeError:  # real streamlit: submodule needs explicit import
+        import streamlit.components.v1 as _components
+
+        html_component = _components.html
+    html_component(render_html(model_diagram(hp)), height=580)
     from maunet_tpu.analysis.figures import plot_architecture_diagram
 
-    st.pyplot(plot_architecture_diagram(hp))
+    with st.expander("Static figure"):
+        st.pyplot(plot_architecture_diagram(hp))
     with st.expander("Text diagram"):
         st.text(architecture_diagram(hp))
 

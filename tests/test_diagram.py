@@ -1,0 +1,120 @@
+"""Interactive architecture diagram (analysis/diagram_html.py).
+
+Counterpart of the reference's streamlit-flow diagrams
+(app_dev/app_src/model_diagram.py:8-222): same node graphs, rendered as a
+self-contained HTML/SVG string instead of a React component.
+"""
+
+import re
+
+import pytest
+
+from maunet_tpu.analysis.diagram_html import (
+    Diagram,
+    model_diagram,
+    render_html,
+    save_html,
+    unet_diagram,
+    unetpp_diagram,
+)
+
+HP = {"base_filters": 64, "temporal_embeddings": True,
+      "metadata_embeddings": True, "temporal_dim": 64, "meta_dim": 64,
+      "lstm_hidden": 96, "metadata_features": 8}
+
+
+def _ids(d):
+    return {n.id for n in d.nodes}
+
+
+def test_unet_topology_matches_reference_graph():
+    """Reference unet diagram: 16 nodes / 19 edges
+    (model_diagram.py:17-57); ours adds nothing and drops nothing."""
+    d = unet_diagram(HP)
+    ids = _ids(d)
+    # encoder chain + bottleneck + 4 decoder nodes + head
+    assert {"in_spatial", "conv0_0", "conv1_0", "conv2_0", "conv3_0",
+            "bottleneck", "conv3_1", "conv2_1", "conv1_1", "conv0_1",
+            "final", "out"} <= ids
+    assert {"in_meta", "enc_meta", "in_temp", "enc_temp"} <= ids
+    assert len(d.nodes) == 16
+    assert len(d.edges) == 19
+    # embedding fusion only at the bottleneck (blue edges in the reference)
+    fusion_dsts = {e.dst for e in d.edges if e.fusion and
+                   e.src in ("enc_meta", "enc_temp")}
+    assert fusion_dsts == {"bottleneck"}
+    # every decoder node receives its skip
+    for i in range(4):
+        assert any(e.src == f"conv{i}_0" and e.dst == f"conv{i}_1"
+                   for e in d.edges)
+
+
+def test_unetpp_topology_dense_grid():
+    """Reference unetpp diagram: 22 nodes, dense skips + per-node fusion
+    (model_diagram.py:95-204)."""
+    d = unetpp_diagram(HP)
+    ids = _ids(d)
+    for j in range(1, 5):
+        for i in range(5 - j):
+            assert f"conv{i}_{j}" in ids
+    assert len(d.nodes) == 22
+    # node X(i,j) takes all same-level predecessors + the upsampled deeper
+    incoming = lambda n: {e.src for e in d.edges if e.dst == n}
+    assert incoming("conv0_4") >= {"conv0_0", "conv0_1", "conv0_2",
+                                   "conv0_3", "conv1_3"}
+    # per-node embedding fusion: every one of the 10 decoder nodes
+    fused = {e.dst for e in d.edges if e.fusion and e.src == "enc_temp"}
+    assert len(fused) == 10
+    # 3 input + 4 encoder-chain + 20 dense-skip + 10 upsample + 20 fusion
+    # + 2 head edges
+    assert len(d.edges) == 59
+
+
+def test_ablation_flags_drop_branches():
+    d = unet_diagram({**HP, "temporal_embeddings": False,
+                      "metadata_embeddings": False})
+    ids = _ids(d)
+    assert "enc_temp" not in ids and "enc_meta" not in ids
+    assert not any(e.fusion for e in d.edges
+                   if e.src in ("enc_temp", "enc_meta"))
+
+
+def test_model_diagram_dispatch():
+    assert len(model_diagram({**HP, "model_type": "unet++"}).nodes) == 22
+    assert len(model_diagram({**HP, "model_type": "unet"}).nodes) == 16
+
+
+def test_render_html_self_contained(tmp_path):
+    html = render_html(unet_diagram(HP))
+    # one svg, one script payload, one detail panel, no external resources
+    assert html.count("<svg") == 1
+    assert "mau-panel" in html and "application/json" in html
+    assert "http://" not in html and "https://" not in html
+    # every node id appears as a group and in the JSON detail payload
+    for n in unet_diagram(HP).nodes:
+        assert f'data-id="{n.id}"' in html
+    # details carry hyperparam-derived channel widths (beyond the reference)
+    assert "1024" in html  # bottleneck channels at base_filters=64
+    # edges reference existing nodes only (render_html validates)
+    bad = Diagram("x")
+    bad.node("a", 0, 0, "A")
+    bad.edge("a", "ghost")
+    with pytest.raises(ValueError):
+        render_html(bad)
+
+    path = save_html(HP, str(tmp_path / "d.html"))
+    text = open(path).read()
+    assert text.startswith("<!doctype html>")
+    assert "Δ" in text  # unicode labels survive
+
+    # node labels/titles are HTML-escaped
+    hostile = Diagram("<title>")
+    hostile.node("a", 0, 0, "<script>alert(1)</script>")
+    rendered = render_html(hostile)
+    assert "<script>alert(1)" not in rendered
+    assert "&lt;script&gt;" in rendered
+
+
+def test_fusion_edges_use_reference_blue():
+    html = render_html(unetpp_diagram(HP))
+    assert html.count('stroke="#3d73c4"') == 2 + 20  # 2 input + 10 nodes × 2

@@ -176,6 +176,9 @@ def test_research_model_browser_page(research_data, tmp_path):
     # architecture diagram figure + 2 zoomed-quadrant figures (NDVI, LST)
     assert len(st.rendered("pyplot")) == 3
     assert st.rendered("text")  # ASCII diagram in the expander
+    # interactive HTML diagram (analysis/diagram_html.py)
+    (html,) = st.rendered("components_html")
+    assert "mau-node" in html and "conv0_0" in html
 
 
 def test_research_main_router_covers_every_page(research_reports):
