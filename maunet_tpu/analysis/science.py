@@ -32,7 +32,7 @@ perfectly collinear and the model can attribute the planted offset to any
 of them, flattening the latitude-only sweep.  And because the metadata MLP
 ingests RAW year features (~2020; parity with reference src/train.py:244 —
 no date normalization there either), the planted signal needs to be strong
-(default gain 1.5) and training long enough (16 epochs) for the latitude
+(default gain 1.5) and training long enough (32 epochs) for the latitude
 weight to grow against that conditioning.
 """
 
@@ -117,7 +117,7 @@ def run_science_loop(
     temporal_len: int = 828,
     base_filters: int = 16,
     batch_size: int = 8,
-    epochs: int = 16,
+    epochs: int = 32,
     samples: dict | None = None,
     meta_signal: float = 1.5,
     temporal_signal: float = 1.0,
@@ -290,7 +290,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--work-dir", default="reports/science")
     p.add_argument("--hw", type=int, default=64)
-    p.add_argument("--epochs", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=32)
     p.add_argument("--base-filters", type=int, default=16)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--temporal-len", type=int, default=828)
