@@ -37,22 +37,37 @@ def _depthwise_blur(x: jnp.ndarray, kernel1d: jnp.ndarray) -> jnp.ndarray:
 
     The 2-D window is the outer product of the 1-D gaussian, so the blur is
     separable: two 1-D depthwise convs (11+11 MACs/pixel instead of 121) —
-    this also roughly halves the SSIM loss's backward cost."""
-    c = x.shape[-1]
+    this also roughly halves the SSIM loss's backward cost.
+
+    TPU shape trick: a depthwise conv at C=2..10 fills 2-10 of the VPU's 128
+    lanes, so the straightforward NHWC formulation ran ~4.4 ms/train-step of
+    nearly-idle vector work.  Each 1-D pass is independent along the OTHER
+    spatial dim, so it runs with features = (other spatial dim × C): the
+    H-pass reshapes (B,H,W,C) → (B,H,1,W·C) for free, the W-pass pays one
+    (H,W) transpose each way (~25 MB, ~0.1 ms) for full lane occupancy.
+    Measured in the l1-grad-ssim train step: 39.2 → 35.2 ms/step, values
+    bit-identical.
+
+    precision=HIGHEST: TPU lowers f32 convs to bf16 MXU passes by default,
+    and the moment blurs feed the E[x²]−μ² cancellation below — with flat
+    (clipped) windows, bf16 rounding makes σ² land near −C2 and the CS
+    denominator crosses zero (observed: SSIM ≈ −495 on a bounded [0,1]
+    input during a round-3 science run).  Exact f32 costs nothing
+    measurable here."""
+    b, h, w, c = x.shape
     size = kernel1d.shape[0]
-    # precision=HIGHEST: TPU lowers f32 convs to bf16 MXU passes by default,
-    # and the moment blurs feed the E[x²]−μ² cancellation below — with flat
-    # (clipped) windows, bf16 rounding makes σ² land near −C2 and the CS
-    # denominator crosses zero (observed: SSIM ≈ −495 on a bounded [0,1]
-    # input during a round-3 science run).  These 11-tap depthwise convs are
-    # bandwidth-bound, so exact f32 costs nothing measurable.
     kw = dict(window_strides=(1, 1), padding="VALID",
               dimension_numbers=("NHWC", "HWIO", "NHWC"),
-              feature_group_count=c, precision=lax.Precision.HIGHEST)
-    k_h = jnp.broadcast_to(kernel1d[:, None, None, None], (size, 1, 1, c))
-    k_w = jnp.broadcast_to(kernel1d[None, :, None, None], (1, size, 1, c))
-    return lax.conv_general_dilated(
-        lax.conv_general_dilated(x, k_h, **kw), k_w, **kw)
+              precision=lax.Precision.HIGHEST)
+    k_h = jnp.broadcast_to(kernel1d[:, None, None, None], (size, 1, 1, w * c))
+    yh = lax.conv_general_dilated(x.reshape(b, h, 1, w * c), k_h,
+                                  feature_group_count=w * c, **kw)
+    h2 = h - size + 1
+    xt = yh.reshape(b, h2, w, c).transpose(0, 2, 1, 3).reshape(b, w, 1, h2 * c)
+    k_w = jnp.broadcast_to(kernel1d[:, None, None, None], (size, 1, 1, h2 * c))
+    yw = lax.conv_general_dilated(xt, k_w, feature_group_count=h2 * c, **kw)
+    w2 = w - size + 1
+    return yw.reshape(b, w2, h2, c).transpose(0, 2, 1, 3)
 
 
 def _avg_pool(x: jnp.ndarray, f: int) -> jnp.ndarray:
@@ -84,16 +99,22 @@ def ssim(
             y = _avg_pool(y, f)
 
     kernel = jnp.asarray(_gaussian_kernel(kernel_size, kernel_sigma))
-    mu_x = _depthwise_blur(x, kernel)
-    mu_y = _depthwise_blur(y, kernel)
+    # One blur over the 5 stacked moment planes instead of 5 separate blurs
+    # (same two conv kernels either way; the stack shares their launches).
+    c = x.shape[-1]
+    planes = jnp.concatenate([x, y, x * x, y * y, x * y], axis=-1)
+    blurred = _depthwise_blur(planes, kernel)
+    mu_x, mu_y = blurred[..., :c], blurred[..., c:2 * c]
+    e_xx, e_yy = blurred[..., 2 * c:3 * c], blurred[..., 3 * c:4 * c]
+    e_xy = blurred[..., 4 * c:]
     mu_xx, mu_yy, mu_xy = mu_x * mu_x, mu_y * mu_y, mu_x * mu_y
     # Variances are mathematically ≥ 0; the E[x²]−μ² form can round below
     # zero, and a negative σxx+σyy can cancel C2 and unbound the score.
     # Clamping is inactive for healthy inputs (piq parity unaffected) and
     # bounds SSIM in [−1, 1] always.
-    sigma_xx = jnp.maximum(_depthwise_blur(x * x, kernel) - mu_xx, 0.0)
-    sigma_yy = jnp.maximum(_depthwise_blur(y * y, kernel) - mu_yy, 0.0)
-    sigma_xy = _depthwise_blur(x * y, kernel) - mu_xy
+    sigma_xx = jnp.maximum(e_xx - mu_xx, 0.0)
+    sigma_yy = jnp.maximum(e_yy - mu_yy, 0.0)
+    sigma_xy = e_xy - mu_xy
 
     c1 = k1 ** 2
     c2 = k2 ** 2

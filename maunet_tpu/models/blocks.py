@@ -172,7 +172,8 @@ class SplitConv(nn.Module):
     out_packed: bool = False
 
     @nn.compact
-    def __call__(self, parts: Sequence[jnp.ndarray], epilogue=None):
+    def __call__(self, parts: Sequence[jnp.ndarray], epilogue=None,
+                 bias_grad: bool = True):
         def c_of(p):
             return p.cin if isinstance(p, Packed) else p.shape[-1]
 
@@ -264,6 +265,13 @@ class SplitConv(nn.Module):
             y = (out.astype(jnp.float32) * jnp.tile(a, pack_s)
                  + jnp.tile(b_eff, pack_s))
             return Packed(jnp.maximum(y, 0.0).astype(cd), self.features)
+        # bias_grad=False (train-mode callers with BatchNorm right after):
+        # batch-stat BN cancels any constant channel shift exactly, so the
+        # bias gradient is mathematically zero — stop_gradient deletes the
+        # full-tensor reduce_sum XLA would otherwise emit for it (~2.6
+        # ms/train-step across the model) without changing any value.
+        if not bias_grad:
+            bias = jax.lax.stop_gradient(bias)
         b_vec = bias.astype(out.dtype)
         if self.out_packed:
             return Packed(out + jnp.tile(b_vec, pack_s), self.features)
@@ -282,7 +290,8 @@ class PackedConv3x3(nn.Module):
     out_packed: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray | Packed, epilogue=None):
+    def __call__(self, x: jnp.ndarray | Packed, epilogue=None,
+                 bias_grad: bool = True):
         if isinstance(x, Packed):
             cin, s, width = x.cin, x.s, x.x.shape[2] * x.s
         else:
@@ -316,6 +325,8 @@ class PackedConv3x3(nn.Module):
         else:
             x = x.astype(cd)
         y = packed_conv(x, kernel.astype(cd), s, out_packed=self.out_packed)
+        if not bias_grad:  # see SplitConv: zero through train-mode BN
+            bias = jax.lax.stop_gradient(bias)
         if isinstance(y, Packed):
             return Packed(y.x + jnp.tile(bias.astype(y.x.dtype), s),
                           self.features)
@@ -404,14 +415,13 @@ class VGGBlock(nn.Module):
         conv1 = SplitConv(self.middle_channels, compute_dtype=self.compute_dtype,
                           group_spatial=self.group_spatial, pack=self.pack,
                           pack_min_s=self.pack_min_s, name="conv1")
-        if self.pack:
-            conv2 = PackedConv3x3(self.out_channels,
-                                  compute_dtype=self.compute_dtype,
-                                  pack_min_s=self.pack_min_s, name="conv2")
-        else:
-            conv2 = nn.Conv(self.out_channels, kernel_size=(3, 3),
-                            padding="SAME", dtype=self.compute_dtype,
-                            param_dtype=jnp.float32, name="conv2")
+        # PackedConv3x3 is the nn.Conv drop-in (identical params/initializers/
+        # arithmetic; falls through to a plain conv at s=1, and pack_min_s=999
+        # pins s=1 when packing is off) — used for both modes so the train
+        # path can pass bias_grad=False.
+        conv2 = PackedConv3x3(
+            self.out_channels, compute_dtype=self.compute_dtype,
+            pack_min_s=self.pack_min_s if self.pack else 999, name="conv2")
         if self.bn_fused:
             assert not train, "bn_fused is an inference-only mode"
             x = nn.relu(conv1(parts)).astype(self.compute_dtype)
@@ -426,10 +436,12 @@ class VGGBlock(nn.Module):
             dtype=jnp.float32,
             param_dtype=jnp.float32,
         )
-        x = conv1(parts)
+        # In train mode each conv feeds batch-stat BN, which cancels the conv
+        # bias exactly — bias_grad=False skips its (zero) gradient reduces.
+        x = conv1(parts, bias_grad=not train)
         x = nn.relu(nn.BatchNorm(name="bn1", **bn_kw)(x))
         x = x.astype(self.compute_dtype)
-        x = conv2(x)
+        x = conv2(x, bias_grad=not train)
         x = nn.relu(nn.BatchNorm(name="bn2", **bn_kw)(x))
         return x.astype(self.compute_dtype)
 
@@ -513,7 +525,14 @@ def max_pool_2x2(x: jnp.ndarray | Packed) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = x[:, : h // 2 * 2, : w // 2 * 2]  # floor semantics for odd sizes
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return jnp.maximum(x[:, :, 0], x[:, :, 1]).max(axis=3)
+    # where-chains, not jnp.maximum(...).max(...): max's VJP splits ties with
+    # a divide over the tie count (~2.4 ms/train-step of divide_multiply
+    # fusions in the round-3 trace); where's VJP is a plain select routing
+    # the gradient to one winner — torch MaxPool2d's convention.
+    a, b2 = x[:, :, 0], x[:, :, 1]
+    m = jnp.where(a >= b2, a, b2)
+    m0, m1 = m[:, :, :, 0], m[:, :, :, 1]
+    return jnp.where(m0 >= m1, m0, m1)
 
 
 def broadcast_embeddings(emb: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
