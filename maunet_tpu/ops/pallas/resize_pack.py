@@ -115,10 +115,17 @@ def supported(in_hw, out_hw, s: int, c: int) -> bool:
         return False
     if c % 8 or w % _HW or h % _HW:
         return False
+    # Packed emit runs the W-pass as s per-phase dots with c output lanes
+    # each — only worth it at full lane width (the classic U-Net level-0
+    # row: s=2, c=128).  Narrow-channel packed resizes (U-Net++, c=32)
+    # measure faster on the per-phase einsum path (12.6 vs 11.6 ms/batch).
+    if s > 1 and c % 128:
+        return False
     return _row_plan(h, oh, _pick_br(oh, ow, c)) is not None
 
 
-def _make_kernel(br: int, mr: int, h_ratio: tuple[int, int], out_dtype):
+def _make_kernel(br: int, mr: int, h_ratio: tuple[int, int], out_dtype,
+                 s: int = 1):
     h, oh = h_ratio
 
     def kernel(ww_ref, wt_ref, left_ref, main_ref, right_ref, out_ref):
@@ -134,11 +141,25 @@ def _make_kernel(br: int, mr: int, h_ratio: tuple[int, int], out_dtype):
             for k in range(_TAPS):
                 term = wt_ref[0, k, r] * xw[g - 1 + k].astype(jnp.float32)
                 acc = term if acc is None else acc + term
-            # W-pass: one (ow, w) x (w, C) MXU matmul per row.
-            rows.append(jax.lax.dot_general(
-                ww_ref[...], acc.astype(dt), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        out_ref[0] = jnp.stack(rows).astype(out_dtype)         # (br, ow, C)
+            acc = acc.astype(dt)
+            if s == 1:
+                # W-pass: one (ow, w) x (w, C) MXU matmul per row.
+                rows.append(jax.lax.dot_general(
+                    ww_ref[...], acc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            else:
+                # Packed emit: one dot per sub-pixel phase — phase p's
+                # (ow/s, w) matrix holds interpolation rows p, p+s, …, and
+                # the lane-axis concat IS the packed channel order
+                # (p·C + c ↔ column g·s + p).  Emitting (ow/s, s·C)
+                # directly avoids the (ow, C) → (ow/s, s·C) reshape, which
+                # Mosaic/XLA materialized as a 0.45 ms relayout copy.
+                rows.append(jnp.concatenate(
+                    [jax.lax.dot_general(
+                        ww_ref[p], acc, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     for p in range(s)], axis=-1))
+        out_ref[0] = jnp.stack(rows).astype(out_dtype)  # (br, ow/s, s·C)
 
     return kernel
 
@@ -159,14 +180,18 @@ def resize_pack(x: jnp.ndarray, out_hw: tuple[int, int], s: int = 1,
     assert plan is not None, (x.shape, out_hw)
     mr = plan.mr
     dtype = x.dtype
-    ww = jnp.asarray(_interp_matrix(w, ow), dtype)             # (ow, w)
+    wwn = _interp_matrix(w, ow)                                # (ow, w)
+    if s > 1:
+        # phase p rows: p, p+s, … — see the kernel's packed-emit comment
+        wwn = wwn.reshape(ow // s, s, w).transpose(1, 0, 2)    # (s, ow/s, w)
+    ww = jnp.asarray(wwn, dtype)
     wt = jnp.asarray(plan.weights, jnp.float32)                # (nb,4,br)
     nb = oh // br
     mh, nhb = mr // _HW, h // _HW
 
     grid = (b, nb)
     in_specs = [
-        pl.BlockSpec((ow, w), lambda bi, i: (0, 0)),
+        pl.BlockSpec(ww.shape, lambda bi, i: (0,) * ww.ndim),
         pl.BlockSpec((1, _TAPS, br), lambda bi, i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, _HW, w, c),
@@ -177,17 +202,15 @@ def resize_pack(x: jnp.ndarray, out_hw: tuple[int, int], s: int = 1,
                                     0, 0)),
     ]
     out = pl.pallas_call(
-        _make_kernel(br, mr, (h, oh), dtype),
+        _make_kernel(br, mr, (h, oh), dtype, s),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, br, ow, c),
+        out_specs=pl.BlockSpec((1, br, ow // s, s * c),
                                lambda bi, i: (bi, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, oh, ow, c), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, oh, ow // s, s * c), dtype),
         interpret=interpret,
     )(ww, wt, x, x, x)
-    # The lane packing is a FREE reshape of the kernel's canonical C-minor
-    # output: (ow, c) and (ow/s, s*c) have identical flat memory order.
-    return out.reshape(b, oh, ow // s, s * c) if s > 1 else out
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

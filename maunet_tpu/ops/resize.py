@@ -72,10 +72,15 @@ def resize_align_corners(x: jnp.ndarray, out_hw: tuple[int, int],
         from maunet_tpu.ops.packed_conv import pack
 
         return pack(x, out_pack)
-    if jax.default_backend() == "tpu" and out_pack == 1:
+    if jax.default_backend() == "tpu":
         from maunet_tpu.ops.pallas import resize_pack as rp
 
         if rp.supported((h, w), (oh, ow), out_pack, c):
+            # out_pack>1 emits the lane-packed form straight from the
+            # kernel's canonical C-minor output (a free reshape) — the
+            # per-phase einsum path below left a full-tensor relayout copy
+            # plus a phase-concat copy in front of the packed level-0 conv
+            # row (0.42 + 0.11 ms at 256²/B8, round-3 U-Net trace).
             y = rp.resize_pack_vjp(x, (oh, ow), out_pack)
             return Packed(y, c) if out_pack > 1 else y
     dtype = x.dtype
