@@ -42,7 +42,10 @@ def _run_cluster(tmp_path, nprocs, local_devices, port, spatial=1):
             stderr=subprocess.STDOUT, text=True)
         for p in range(nprocs)
     ]
-    logs = [p.communicate(timeout=560)[0] for p in procs]
+    # 4 jax processes sharing this image's single host core stack their
+    # imports + distributed init + compiles serially: ~2-3 min each when
+    # unloaded, far more under suite contention — budget generously.
+    logs = [p.communicate(timeout=1500)[0] for p in procs]
     for p, logtxt in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{logtxt[-4000:]}"
 
