@@ -116,10 +116,11 @@ def supported(in_hw, out_hw, s: int, c: int) -> bool:
     if c % 8 or w % _HW or h % _HW:
         return False
     # Packed emit runs the W-pass as s per-phase dots with c output lanes
-    # each — only worth it at full lane width (the classic U-Net level-0
-    # row: s=2, c=128).  Narrow-channel packed resizes (U-Net++, c=32)
-    # measure faster on the per-phase einsum path (12.6 vs 11.6 ms/batch).
-    if s > 1 and c % 128:
+    # each — worth it from half lane width up (classic U-Net level-0: s=2,
+    # c=128; U-Net++ level-0: s=4, c=64 — each kills a 0.2 ms relayout
+    # copy in front of the fused conv row).  Below that the per-phase dots
+    # idle too many lanes and the einsum path wins.
+    if s > 1 and ((s * c) % 128 or c < 64):
         return False
     return _row_plan(h, oh, _pick_br(oh, ow, c)) is not None
 

@@ -161,8 +161,8 @@ def test_resize_pack_kernel_matches_einsum(rng):
     from maunet_tpu.ops.resize import resize_align_corners
 
     cases = [(128, 128, 256, 256, 2, 128), (64, 64, 128, 128, 1, 128),
-             (64, 64, 128, 128, 2, 256), (16, 16, 32, 32, 1, 32),
-             (8, 8, 16, 16, 1, 256)]
+             (64, 64, 128, 128, 2, 256), (128, 128, 256, 256, 4, 64),
+             (16, 16, 32, 32, 1, 32), (8, 8, 16, 16, 1, 256)]
     for h, w, oh, ow, s, c in cases:
         assert supported((h, w), (oh, ow), s, c), (h, w, oh, ow, s, c)
         x = jnp.asarray(rng.normal(size=(2, h, w, c)), jnp.float32)
@@ -174,10 +174,8 @@ def test_resize_pack_kernel_matches_einsum(rng):
     # odd / unsupported shapes fall back
     assert not supported((25, 25), (50, 50), 1, 32)
     # narrow-channel packed resizes stay on the per-phase einsum path:
-    # the kernel's per-phase dots would emit c<128 lanes each (measured
-    # U-Net++ regression 11.6 -> 12.6 ms/batch when forced through)
+    # the kernel's per-phase dots would emit c<64 lanes each
     assert not supported((128, 128), (256, 256), 4, 32)
-    assert not supported((32, 32), (64, 64), 2, 64)
     assert not supported((15, 15), (31, 31), 1, 64)
 
 
