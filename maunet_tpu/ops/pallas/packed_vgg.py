@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_HW = 8  # halo block rows (min DMA granularity used for the ±1-row halo)
+_HW = 8  # row-block quantum (bh candidates are multiples of this)
 
 # Test hook: run the kernel in interpret mode on CPU (monkeypatched by the
 # pack-equivalence tests; production gates on jax.default_backend()=='tpu').
@@ -52,13 +52,16 @@ def supported(parts_shapes, cins, s: int, cout: int) -> bool:
 def _pick_bh(h, g, cins, s, cout):
     """Row-block size fitting double-buffered blocks PLUS the kernel's
     f32 scratch (three accumulators + roll/mask temps, ~6 output blocks in
-    f32) into a 14 MB budget against the 16 MB VMEM scoped limit."""
+    f32) into a 14 MB budget against the 16 MB VMEM scoped limit.  The
+    ±1-row H halos ride two single-row blocks (2 extra input rows per
+    step — an 8-row halo block at bh=8 was fetching 2× the useful data,
+    the difference between conv0_1's 0.95 ms and its ~0.4 ms floor)."""
     in_row = sum(g * s * cin * 2 for cin in cins)
     out_row = g * s * cout * 2                 # bf16; ×2 for the add term
     for bh in (64, 32, 16, 8):
         if h % bh:
             continue
-        blocks = (bh + 2 * _HW) * in_row + 2 * bh * out_row
+        blocks = (bh + 2) * in_row + 2 * bh * out_row
         stack = 6 * bh * g * s * cout * 4
         if 2 * blocks + stack <= (14 << 20):
             return bh
@@ -159,7 +162,6 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
     b, h, g, _ = parts[0].shape
     bh = _pick_bh(h, g, cins, s, cout)
     assert bh is not None, (parts[0].shape, cins, s, cout)
-    nhb, mh = h // _HW, bh // _HW
     dtype = parts[0].dtype
 
     wp_specs = [pl.BlockSpec(w.shape, lambda bi, i: (0, 0, 0)) for w in wps]
@@ -178,14 +180,17 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
     part_specs, part_args = [], []
     for p in parts:
         sc = p.shape[-1]
+        # Single-row halo blocks (the kernel reads exactly one row from
+        # each): index maps are in 1-row units for the halos, bh-row units
+        # for the main block.
         part_specs += [
-            pl.BlockSpec((1, _HW, g, sc),
-                         lambda bi, i: (bi, jnp.maximum(i * mh - 1, 0),
+            pl.BlockSpec((1, 1, g, sc),
+                         lambda bi, i: (bi, jnp.maximum(i * bh - 1, 0),
                                         0, 0)),
             pl.BlockSpec((1, bh, g, sc), lambda bi, i: (bi, i, 0, 0)),
-            pl.BlockSpec((1, _HW, g, sc),
-                         lambda bi, i: (bi, jnp.minimum(i * mh + mh,
-                                                        nhb - 1), 0, 0)),
+            pl.BlockSpec((1, 1, g, sc),
+                         lambda bi, i: (bi, jnp.minimum(i * bh + bh,
+                                                        h - 1), 0, 0)),
         ]
         part_args += [p, p, p]
 
