@@ -90,7 +90,7 @@ def _fused_conv_epilogue(jobs, is_bcast, s: int, hw, features: int,
     add = None
     for p, w in jobs:
         if is_bcast(p):
-            e = _const_conv(p, w, *hw, out_pack=s)
+            e = _const_conv(p, w, *hw, out_pack=s, compact_h=True)
             add = e if add is None else add + e
     a, bvec = epilogue
     a = a.astype(jnp.float32)
@@ -113,24 +113,38 @@ def _border_mask(n: int) -> np.ndarray:
 
 
 def _const_conv(emb: jnp.ndarray, kernel: jnp.ndarray, h: int, w: int,
-                out_pack: int = 1) -> jnp.ndarray:
+                out_pack: int = 1, compact_h: bool = False) -> jnp.ndarray:
     """3×3 SAME (zero-pad) conv of a spatially-constant (B, D) input,
     evaluated in closed form.  Returns (B, h, w, C) in f32 — or, with
     ``out_pack=s``, the lane-packed (B, h, w/s, s*C) form directly (the
-    W-axis einsum emits the packed channel order natively)."""
+    W-axis einsum emits the packed channel order natively).
+
+    ``compact_h=True`` (requires ``out_pack>1`` and h >= 3) returns only the
+    three distinct H-rows — (B, 3, w/s, s*C) with rows {y=0, interior,
+    y=h-1} — the form ``packed_conv3x3_fused`` expands per-row in VMEM.
+    Materializing the H-broadcast here cost two full-tensor relayout copies
+    per decoder node (~0.7 ms/step at 256²/B8, round-3 trace)."""
     e = emb.reshape(emb.shape[0], -1).astype(jnp.float32)
     k = kernel.astype(jnp.float32)
     # Per-tap contribution (B, 3, 3, C), then interpolate over the border
     # masks of each axis.
     taps = jnp.einsum("bd,ijdc->bijc", e, k)
-    a = jnp.asarray(_border_mask(h))
+    if compact_h:
+        assert out_pack > 1 and h >= 3
+        # The zero-pad border mask has exactly 3 distinct rows for h >= 3.
+        a = jnp.asarray(np.array([[0, 1, 1], [1, 1, 1], [1, 1, 0]],
+                                 np.float32))
+        hh = 3
+    else:
+        a = jnp.asarray(_border_mask(h))
+        hh = h
     out = jnp.einsum("hi,bijc->bhjc", a, taps)
     if out_pack > 1:
         s = out_pack
         bm = jnp.asarray(_border_mask(w).reshape(w // s, s, 3))
         z = jnp.einsum("gpj,bhjc->bhgpc", bm, out)
         bsz, c = emb.shape[0], kernel.shape[-1]
-        return z.reshape(bsz, h, w // s, s * c)
+        return z.reshape(bsz, hh, w // s, s * c)
     b = jnp.asarray(_border_mask(w))
     return jnp.einsum("wj,bhjc->bhwc", b, out)
 

@@ -128,9 +128,19 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
         acc = acc.reshape(sh) + accl + accr
         if has_add:
             # Pre-affine additive term (the decoder's closed-form broadcast
-            # embedding contribution): part of the virtual-concat conv sum,
-            # so it lands before the BN affine.
-            acc = acc + add_ref[0].astype(jnp.float32)
+            # embedding contribution): spatially constant except at the
+            # H borders, so it arrives as 3 rows {top, interior, bottom}
+            # (B, 3, G, s*cout) and is expanded per-row here — the full
+            # (B, H, G, s*cout) tensor (and the two relayout copies XLA
+            # wrapped around it) never exists in HBM.
+            rid = jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+            top = jnp.broadcast_to(add_ref[0, 0][None], sh)
+            mid = jnp.broadcast_to(add_ref[0, 1][None], sh)
+            bot = jnp.broadcast_to(add_ref[0, 2][None], sh)
+            sel = jnp.where(jnp.logical_and(rid == 0, pid == 0), top,
+                            jnp.where(jnp.logical_and(rid == bh - 1,
+                                                      pid == last), bot, mid))
+            acc = acc + sel.astype(jnp.float32)
         if has_affine:
             acc = acc * a_ref[0] + b_ref[0]
         if relu:
@@ -152,9 +162,10 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
     """3x3 SAME conv over a virtual concat of lane-packed parts.
 
     parts[p]: (B, H, G, s*cin_p); wps[p]: the ``pack_weights`` tensor
-    reshaped to (3, (s+2)*cin_p, s*cout); ``add``: optional (B, H, G, s*cout)
-    term summed into the conv result *before* the affine (the decoder's
-    broadcast-embedding contribution); ``affine``: optional (scale, bias)
+    reshaped to (3, (s+2)*cin_p, s*cout); ``add``: optional compact
+    (B, 3, G, s*cout) term — rows {y=0, interior, y=H-1} — summed into the
+    conv result *before* the affine (the decoder's broadcast-embedding
+    contribution, H-broadcast in VMEM); ``affine``: optional (scale, bias)
     vectors of length s*cout applied as ``y*scale + bias`` before the
     optional ReLU (inference BN / folded conv bias).
     Returns (B, H, G, s*cout).
@@ -174,8 +185,9 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
                         for _ in range(2)]
     add_specs, add_args = [], []
     if add is not None:
-        add_specs = [pl.BlockSpec((1, bh, g, s * cout),
-                                  lambda bi, i: (bi, i, 0, 0))]
+        assert add.shape == (b, 3, g, s * cout), (add.shape, parts[0].shape)
+        add_specs = [pl.BlockSpec((1, 3, g, s * cout),
+                                  lambda bi, i: (bi, 0, 0, 0))]
         add_args = [add]
     part_specs, part_args = [], []
     for p in parts:

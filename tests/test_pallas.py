@@ -218,7 +218,12 @@ def test_packed_vgg_kernel_matches_xla(rng):
           for c in cins]
     scale = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
     bias = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
-    add = jnp.asarray(rng.normal(size=(b, h, w // s, s * cout)), jnp.float32)
+    # compact add: rows {y=0, interior, y=h-1} (the kernel's VMEM broadcast)
+    add = jnp.asarray(rng.normal(size=(b, 3, w // s, s * cout)), jnp.float32)
+    add_full = jnp.concatenate(
+        [add[:, 0:1], jnp.broadcast_to(add[:, 1:2], (b, h - 2, w // s,
+                                                     s * cout)), add[:, 2:3]],
+        axis=1)
 
     conv_sum = sum(packed_conv(pack(x, s), k, s, out_packed=True).x
                    for x, k in zip(xs, ks))
@@ -228,7 +233,7 @@ def test_packed_vgg_kernel_matches_xla(rng):
     assert supported([p.shape for p in parts], cins, s, cout)
 
     for extra in (None, add):
-        ref = conv_sum if extra is None else conv_sum + extra
+        ref = conv_sum if extra is None else conv_sum + add_full
         ref = jnp.maximum(ref * jnp.tile(scale, s) + jnp.tile(bias, s), 0.0)
         got = packed_conv3x3_fused(
             parts, wps, cins, s, cout,
