@@ -91,9 +91,6 @@ class MetaUNetPP(nn.Module):
             group_spatial=True, pack=self.pack_lanes, pack_min_s=min_s,
             packed_io=s_lvl[lvl] > 1, name=name)
 
-        def unpack(x):
-            return x.unpack() if isinstance(x, Packed) else x
-
         maps = maps.astype(cd)
 
         # Encode non-spatial context once (reference src/model.py:125-126).
@@ -124,11 +121,13 @@ class MetaUNetPP(nn.Module):
         def up(x, lvl):
             # U-Net++ resizes straight to the target size (single resize,
             # reference :111-121 — self.up is commented out in the
-            # reference); emitted directly in the target level's packed form.
-            # floor(floor(n/2)/2) == floor(n/4): repeated 2x2 floor-pooling
-            # equals floor division by 2**lvl, so the target size is static.
+            # reference); emitted directly in the target level's packed form,
+            # and a packed producer is read in place (ops/resize.py —
+            # no unpack copy).  floor(floor(n/2)/2) == floor(n/4): repeated
+            # 2x2 floor-pooling equals floor division by 2**lvl, so the
+            # target size is static.
             hw = (maps.shape[1] // 2 ** lvl, widths[lvl])
-            y = upsample_like(unpack(x), hw, pre_scale=None,
+            y = upsample_like(x, hw, pre_scale=None,
                               out_pack=s_lvl[lvl])
             if isinstance(y, Packed):
                 return Packed(y.x.astype(cd), y.cin)

@@ -106,7 +106,7 @@ def _pick_br(oh: int, ow: int, c: int) -> int:
     return _HW
 
 
-def supported(in_hw, out_hw, s: int, c: int) -> bool:
+def supported(in_hw, out_hw, s: int, c: int, s_in: int = 1) -> bool:
     """Static gate: shapes the kernel handles (the production tile chains);
     everything else stays on the XLA einsum path."""
     h, w = in_hw
@@ -122,11 +122,18 @@ def supported(in_hw, out_hw, s: int, c: int) -> bool:
     # idle too many lanes and the einsum path wins.
     if s > 1 and ((s * c) % 128 or c < 64):
         return False
+    # Packed INPUT (B, h, w/s_in, s_in*c): the W-pass contracts each input
+    # phase separately (lane-slice + per-phase dot), so the producer's
+    # packed form is read in place — the unpack reshape XLA materialized as
+    # a full-tensor copy in front of every decoder ``up()`` never exists.
+    # Needs full-lane-tile packed channels and sublane-aligned groups.
+    if s_in > 1 and ((s_in * c) % 128 or (w // s_in) % 8 or w % s_in):
+        return False
     return _row_plan(h, oh, _pick_br(oh, ow, c)) is not None
 
 
 def _make_kernel(br: int, mr: int, h_ratio: tuple[int, int], out_dtype,
-                 s: int = 1):
+                 s: int = 1, s_in: int = 1, c: int = 0):
     h, oh = h_ratio
 
     def kernel(ww_ref, wt_ref, left_ref, main_ref, right_ref, out_ref):
@@ -143,7 +150,24 @@ def _make_kernel(br: int, mr: int, h_ratio: tuple[int, int], out_dtype,
                 term = wt_ref[0, k, r] * xw[g - 1 + k].astype(jnp.float32)
                 acc = term if acc is None else acc + term
             acc = acc.astype(dt)
-            if s == 1:
+            if s_in > 1:
+                # Packed input (g_in, s_in·C): each input phase q holds
+                # column g·s_in + q at lanes [q·C, (q+1)·C) — contract the
+                # phases separately against their column-sliced matrices
+                # and sum (same taps, split by source-column residue).
+                phases = []
+                for p in range(max(s, 1)):
+                    o = None
+                    for q in range(s_in):
+                        xq = acc[:, q * c:(q + 1) * c]
+                        d = jax.lax.dot_general(
+                            ww_ref[p, q], xq, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        o = d if o is None else o + d
+                    phases.append(o)
+                rows.append(phases[0] if len(phases) == 1
+                            else jnp.concatenate(phases, axis=-1))
+            elif s == 1:
                 # W-pass: one (ow, w) x (w, C) MXU matmul per row.
                 rows.append(jax.lax.dot_general(
                     ww_ref[...], acc, (((1,), (0,)), ((), ())),
@@ -165,16 +189,20 @@ def _make_kernel(br: int, mr: int, h_ratio: tuple[int, int], out_dtype,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "s", "interpret"))
+@functools.partial(jax.jit, static_argnames=("out_hw", "s", "s_in",
+                                              "interpret"))
 def resize_pack(x: jnp.ndarray, out_hw: tuple[int, int], s: int = 1,
-                interpret: bool = False) -> jnp.ndarray:
+                s_in: int = 1, interpret: bool = False) -> jnp.ndarray:
     """(B, h, w, C) → (B, oh, ow/s, s·C) fused align-corners resize.
 
     Caller must have checked :func:`supported`.  ``s=1`` returns the plain
     NHWC resize; ``s>1`` returns the lane-packed layout of
     ``ops.packed_conv.Packed`` (channel ``p·C + c`` is column ``g·s + p``).
+    ``s_in>1`` takes ``x`` already in that packed layout —
+    (B, h, w/s_in, s_in·C) — and reads it in place (no unpack copy).
     """
-    b, h, w, c = x.shape
+    b, h, gi, sc = x.shape
+    w, c = gi * s_in, sc // s_in
     oh, ow = out_hw
     br = _pick_br(oh, ow, c)
     plan = _row_plan(h, oh, br)
@@ -185,6 +213,10 @@ def resize_pack(x: jnp.ndarray, out_hw: tuple[int, int], s: int = 1,
     if s > 1:
         # phase p rows: p, p+s, … — see the kernel's packed-emit comment
         wwn = wwn.reshape(ow // s, s, w).transpose(1, 0, 2)    # (s, ow/s, w)
+    if s_in > 1:
+        # split columns by input phase: (…, w) → (s, s_in, ow/s, g_in)
+        wwn = wwn.reshape(max(s, 1), ow // max(s, 1), gi, s_in)
+        wwn = wwn.transpose(0, 3, 1, 2)
     ww = jnp.asarray(wwn, dtype)
     wt = jnp.asarray(plan.weights, jnp.float32)                # (nb,4,br)
     nb = oh // br
@@ -195,15 +227,15 @@ def resize_pack(x: jnp.ndarray, out_hw: tuple[int, int], s: int = 1,
         pl.BlockSpec(ww.shape, lambda bi, i: (0,) * ww.ndim),
         pl.BlockSpec((1, _TAPS, br), lambda bi, i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, _HW, w, c),
+        pl.BlockSpec((1, _HW, gi, sc),
                      lambda bi, i: (bi, jnp.maximum(i * mh - 1, 0), 0, 0)),
-        pl.BlockSpec((1, mr, w, c), lambda bi, i: (bi, i, 0, 0)),
-        pl.BlockSpec((1, _HW, w, c),
+        pl.BlockSpec((1, mr, gi, sc), lambda bi, i: (bi, i, 0, 0)),
+        pl.BlockSpec((1, _HW, gi, sc),
                      lambda bi, i: (bi, jnp.minimum(i * mh + mh, nhb - 1),
                                     0, 0)),
     ]
     out = pl.pallas_call(
-        _make_kernel(br, mr, (h, oh), dtype, s),
+        _make_kernel(br, mr, (h, oh), dtype, s, s_in, c),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, br, ow // s, s * c),
@@ -214,30 +246,34 @@ def resize_pack(x: jnp.ndarray, out_hw: tuple[int, int], s: int = 1,
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def resize_pack_vjp(x: jnp.ndarray, out_hw: tuple[int, int],
-                    s: int = 1) -> jnp.ndarray:
+                    s: int = 1, s_in: int = 1) -> jnp.ndarray:
     """:func:`resize_pack` with a reverse rule (the resize is linear, so the
     backward is the transposed-matrix resize, run on the XLA einsum path —
     the backward shapes are downsamples the kernel does not handle)."""
-    return resize_pack(x, out_hw, s)
+    return resize_pack(x, out_hw, s, s_in)
 
 
-def _rp_fwd(x, out_hw, s):
-    return resize_pack(x, out_hw, s), x.shape
+def _rp_fwd(x, out_hw, s, s_in):
+    return resize_pack(x, out_hw, s, s_in), x.shape
 
 
-def _rp_bwd(out_hw, s, in_shape, g):
+def _rp_bwd(out_hw, s, s_in, in_shape, g):
     from maunet_tpu.ops.resize import _hpass, _interp_matrix, _wpass
 
-    b, h, w, c = in_shape
+    b, h, gi, sc = in_shape
+    w, c = gi * s_in, sc // s_in
     oh, ow = out_hw
     if s > 1:
         g = g.reshape(b, oh, ow, c)        # free unpack of the cotangent
     dt = g.dtype
     wh_t = jnp.asarray(_interp_matrix(h, oh).T, dt)   # (h, oh)
     ww_t = jnp.asarray(_interp_matrix(w, ow).T, dt)   # (w, ow)
-    return (_hpass(wh_t, _wpass(ww_t, g)),)
+    dx = _hpass(wh_t, _wpass(ww_t, g))
+    if s_in > 1:
+        dx = dx.reshape(b, h, gi, sc)      # free repack of the cotangent
+    return (dx,)
 
 
 resize_pack_vjp.defvjp(_rp_fwd, _rp_bwd)

@@ -62,6 +62,22 @@ def resize_align_corners(x: jnp.ndarray, out_hw: tuple[int, int],
     """
     from maunet_tpu.ops.packed_conv import Packed
 
+    if isinstance(x, Packed):
+        # Packed producer (a packed-resident decoder row): read it in place
+        # through the kernel's phase-split W-pass — the unpack reshape XLA
+        # materialized as a full-tensor copy in front of every decoder
+        # ``up()`` (4 × ~0.1 ms/step at 256²/B8, round-3 trace) never exists.
+        b, h, gi, sc = x.x.shape
+        w, c = gi * x.s, x.cin
+        oh, ow = out_hw
+        if jax.default_backend() == "tpu" and (h, w) != (oh, ow):
+            from maunet_tpu.ops.pallas import resize_pack as rp
+
+            if rp.supported((h, w), (oh, ow), out_pack, c, s_in=x.s):
+                y = rp.resize_pack_vjp(x.x, (oh, ow), out_pack, x.s)
+                return Packed(y, c) if out_pack > 1 else y
+        x = x.unpack()
+
     b, h, w, c = x.shape
     oh, ow = out_hw
     if (h, w) == (oh, ow):
@@ -153,15 +169,23 @@ def upsample_like(x: jnp.ndarray, target_hw: tuple[int, int],
     behaviour (reference src/model.py:111-121).  ``out_pack=s`` returns the
     lane-packed form (see :func:`resize_align_corners`).
     """
+    from maunet_tpu.ops.packed_conv import Packed
+
+    def hw_of(t):
+        return ((t.x.shape[1], t.x.shape[2] * t.s) if isinstance(t, Packed)
+                else t.shape[1:3])
+
     if pre_scale is not None:
-        h, w = x.shape[1:3]
+        h, w = hw_of(x)
         if (h * pre_scale, w * pre_scale) == tuple(target_hw):
             # The scale-2 upsample already lands on the target size, so the
             # fix-up resize is the identity and the composition is one
             # resize — emitted directly in the requested packed form.
             return resize_align_corners(x, tuple(target_hw),
                                         out_pack=out_pack)
+        if isinstance(x, Packed):
+            x = x.unpack()
         x = upsample_align_corners(x, pre_scale)
-    if x.shape[1:3] != tuple(target_hw) or out_pack > 1:
+    if hw_of(x) != tuple(target_hw) or out_pack > 1:
         x = resize_align_corners(x, tuple(target_hw), out_pack=out_pack)
     return x

@@ -179,6 +179,55 @@ def test_resize_pack_kernel_matches_einsum(rng):
     assert not supported((15, 15), (31, 31), 1, 64)
 
 
+def test_resize_pack_packed_input_matches_einsum(rng):
+    """Packed-input resize (s_in>1 phase-split W-pass) vs the einsum path
+    on the unpacked tensor — the production up(x1_*, 0) chain and the
+    512² serving shape."""
+    from maunet_tpu.ops.packed_conv import pack
+    from maunet_tpu.ops.pallas.resize_pack import resize_pack, supported
+    from maunet_tpu.ops.resize import resize_align_corners
+
+    cases = [(64, 64, 128, 128, 4, 2, 64),    # up(x1_*, 0) at 128² tiles
+             (128, 128, 256, 256, 4, 2, 64),  # same at 256² tiles
+             (64, 64, 128, 128, 1, 2, 64)]    # packed in, plain out
+    for h, w, oh, ow, s, s_in, c in cases:
+        assert supported((h, w), (oh, ow), s, c, s_in=s_in), (h, w, oh, ow)
+        x = jnp.asarray(rng.normal(size=(2, h, w, c)), jnp.float32)
+        got = resize_pack(pack(x, s_in).x, (oh, ow), s, s_in=s_in,
+                          interpret=True)
+        ref = resize_align_corners(x, (oh, ow), out_pack=s)
+        ref = ref.x if hasattr(ref, "x") else ref
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4)
+    # packed channels must fill a full lane tile
+    assert not supported((64, 64), (128, 128), 4, 32, s_in=2)
+
+
+def test_resize_pack_packed_input_vjp(rng, monkeypatch):
+    """Gradient through the packed-input kernel equals the einsum path's,
+    arriving in the packed cotangent layout."""
+    import maunet_tpu.ops.pallas.resize_pack as rp
+    from maunet_tpu.ops.packed_conv import pack
+    from maunet_tpu.ops.resize import resize_align_corners
+
+    monkeypatch.setattr(
+        rp, "resize_pack",
+        functools.partial(rp.resize_pack.__wrapped__, interpret=True))
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 64)), jnp.float32)
+
+    def loss_kernel(x):
+        y = rp.resize_pack_vjp(pack(x, 2).x, (32, 32), 2, 2)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_einsum(x):
+        y = resize_align_corners(x, (32, 32), out_pack=2).x
+        return jnp.sum(jnp.sin(y))
+
+    g1 = jax.grad(loss_kernel)(x)
+    g2 = jax.grad(loss_einsum)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
 def test_resize_pack_vjp_matches_einsum_grad(rng, monkeypatch):
     """The custom VJP (transposed-matrix einsum backward) equals the
     autodiff gradient of the einsum resize."""
