@@ -73,8 +73,9 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
     n_parts = len(cins)
 
     def kernel(*refs):
-        wps = refs[:n_parts]
-        k = n_parts
+        wm_refs = refs[:n_parts]
+        wl_ref, wr_ref = refs[n_parts], refs[n_parts + 1]
+        k = n_parts + 2
         if has_affine:
             a_ref, b_ref = refs[k], refs[k + 1]
             k += 2
@@ -87,13 +88,22 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
         pid = pl.program_id(1)
         last = pl.num_programs(1) - 1
 
-        # Column-halo terms are computed IN PLACE (each group dotted with the
-        # halo weight slices) and the result — not the input — is shifted one
-        # group along the sublane axis (pltpu.roll + edge mask).  Shifting
-        # inputs would need concats of lane/sublane-offset slices, which
+        # Column-halo terms are computed IN PLACE (the halo columns dotted
+        # with the halo weight slices) and the result — not the input — is
+        # shifted one group along the sublane axis (pltpu.roll + edge mask).
+        # Shifting inputs would need concats of sublane-offset slices, which
         # Mosaic does not lower; shifting the f32 accumulator is one aligned
         # roll, and being linear it happens ONCE after summing all parts.
-        acc = accl = accr = None
+        #
+        # The halo dots contract K = cin (32/64) but an MXU pass zero-pads
+        # K to 128, so per-part halo dots cost as much as the K=128 main
+        # dots while doing a fraction of the work (the measured per-node
+        # times match the pad-to-128 pass count exactly — TRACE.md §7).
+        # All parts' halo columns are therefore lane-concatenated and
+        # contracted in ONE dot per side against the row-stacked weight
+        # slices: ceil(Σcin/128) passes instead of n_parts.
+        acc = None
+        xhs = []
         for p in range(n_parts):
             top, main, bot = parts[3 * p], parts[3 * p + 1], parts[3 * p + 2]
             x = main[0]                                   # (bh, G, s*cin)
@@ -102,20 +112,30 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
             above = jnp.where(pid == 0, zrow, top[0, -1:])
             below = jnp.where(pid == last, zrow, bot[0, :1])
             xh = jnp.concatenate([above, x, below], axis=0)  # (bh+2, G, sc)
-            xl = xh[:, :, (s - 1) * cin:]   # last column of each group
-            xr = xh[:, :, :cin]             # first column of each group
-            wp = wps[p]            # (3, (s+2)*cin, s*cout)
+            xhs.append(xh)
+            wm = wm_refs[p]        # (3, s*cin, s*cout)
             for dy in range(3):
-                dot = lambda t, lo, hi: jax.lax.dot_general(
-                    t[dy:dy + bh].reshape(bh * t.shape[1], -1),
-                    wp[dy, lo:hi], (((1,), (0,)), ((), ())),
+                m = jax.lax.dot_general(
+                    xh[dy:dy + bh].reshape(bh * xh.shape[1], -1),
+                    wm[dy], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                m = dot(xh, cin, (s + 1) * cin)
-                l = dot(xl, 0, cin)
-                r = dot(xr, (s + 1) * cin, (s + 2) * cin)
                 acc = m if acc is None else acc + m
-                accl = l if accl is None else accl + l
-                accr = r if accr is None else accr + r
+        xl = jnp.concatenate(
+            [xh[:, :, (s - 1) * c:s * c] for xh, c in zip(xhs, cins)],
+            axis=-1) if n_parts > 1 else xhs[0][:, :, (s - 1) * cins[0]:]
+        xr = jnp.concatenate(
+            [xh[:, :, :c] for xh, c in zip(xhs, cins)],
+            axis=-1) if n_parts > 1 else xhs[0][:, :, :cins[0]]
+        accl = accr = None
+        for dy in range(3):
+            hdot = lambda t, w_ref: jax.lax.dot_general(
+                t[dy:dy + bh].reshape(bh * t.shape[1], -1),
+                w_ref[dy], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            l = hdot(xl, wl_ref)
+            r = hdot(xr, wr_ref)
+            accl = l if accl is None else accl + l
+            accr = r if accr is None else accr + r
         g = out_ref.shape[2]
         sh = (bh, g, s * cout)
         gidx = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
@@ -175,6 +195,14 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
     assert bh is not None, (parts[0].shape, cins, s, cout)
     dtype = parts[0].dtype
 
+    # Split each packed-weight tensor into its main band and the two halo
+    # slices; stack the halo slices of all parts along K so the kernel runs
+    # ONE dot per side (K = Σcin) instead of one K=cin dot per part.
+    wms = [w[:, cin:(s + 1) * cin] for w, cin in zip(wps, cins)]
+    wl = jnp.concatenate([w[:, :cin] for w, cin in zip(wps, cins)], axis=1)
+    wr = jnp.concatenate([w[:, (s + 1) * cin:] for w, cin in zip(wps, cins)],
+                         axis=1)
+    wps = [*wms, wl, wr]
     wp_specs = [pl.BlockSpec(w.shape, lambda bi, i: (0, 0, 0)) for w in wps]
     affine_specs, affine_args = [], []
     if affine is not None:
