@@ -74,11 +74,15 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
 
     def kernel(*refs):
         wm_refs = refs[:n_parts]
-        wl_ref, wr_ref = refs[n_parts], refs[n_parts + 1]
-        k = n_parts + 2
+        if n_parts == 1:
+            wl_ref, wr_ref = refs[1], None   # combined halo matrix
+            k = 2
+        else:
+            wl_ref, wr_ref = refs[n_parts], refs[n_parts + 1]
+            k = n_parts + 2
         if has_affine:
-            a_ref, b_ref = refs[k], refs[k + 1]
-            k += 2
+            b_ref = refs[k]
+            k += 1
         add_ref = None
         if has_add:
             add_ref = refs[k]
@@ -120,49 +124,77 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
                     wm[dy], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc = m if acc is None else acc + m
-        xl = jnp.concatenate(
-            [xh[:, :, (s - 1) * c:s * c] for xh, c in zip(xhs, cins)],
-            axis=-1) if n_parts > 1 else xhs[0][:, :, (s - 1) * cins[0]:]
-        xr = jnp.concatenate(
-            [xh[:, :, :c] for xh, c in zip(xhs, cins)],
-            axis=-1) if n_parts > 1 else xhs[0][:, :, :cins[0]]
-        accl = accr = None
-        for dy in range(3):
-            hdot = lambda t, w_ref: jax.lax.dot_general(
-                t[dy:dy + bh].reshape(bh * t.shape[1], -1),
-                w_ref[dy], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            l = hdot(xl, wl_ref)
-            r = hdot(xr, wr_ref)
-            accl = l if accl is None else accl + l
-            accr = r if accr is None else accr + r
         g = out_ref.shape[2]
         sh = (bh, g, s * cout)
         gidx = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
-        # left-halo: group g consumes group g-1's last column (zero at g=0)
-        accl = jnp.where(gidx == 0, 0.0,
-                         pltpu.roll(accl.reshape(sh), 1, 1))
-        # right-halo: group g consumes group g+1's first column (zero at G-1)
-        accr = jnp.where(gidx == g - 1, 0.0,
-                         pltpu.roll(accr.reshape(sh), g - 1, 1))
-        acc = acc.reshape(sh) + accl + accr
+        if n_parts == 1:
+            # Single part: both halo sides ride ONE extended-weight dot per
+            # dy on xh itself — wl/wr are scattered into a (s*cin, s*cout)
+            # matrix at the rows of the part's edge sub-columns (they touch
+            # disjoint output lanes: left -> [:cout], right ->
+            # [(s-1)*cout:], a pack_weights invariant).  No lane-slice /
+            # concat builds, and K=cin pad-to-128 halo dots collapse into
+            # full-K passes — measured 574 -> 442 us on the 64-ch s=2 row.
+            xh = xhs[0]
+            acch = None
+            for dy in range(3):
+                hh = jax.lax.dot_general(
+                    xh[dy:dy + bh].reshape(bh * xh.shape[1], -1),
+                    wl_ref[dy], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acch = hh if acch is None else acch + hh
+            acch = acch.reshape(sh)
+            lidx = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
+            rl = pltpu.roll(acch, 1, 1)        # from group g-1
+            rr = pltpu.roll(acch, g - 1, 1)    # from group g+1
+            acc = (acc.reshape(sh)
+                   + jnp.where((lidx < cout) & (gidx > 0), rl, 0.0)
+                   + jnp.where((lidx >= (s - 1) * cout) & (gidx < g - 1),
+                               rr, 0.0))
+        else:
+            xl = jnp.concatenate(
+                [xh[:, :, (s - 1) * c:s * c] for xh, c in zip(xhs, cins)],
+                axis=-1)
+            xr = jnp.concatenate(
+                [xh[:, :, :c] for xh, c in zip(xhs, cins)], axis=-1)
+            accl = accr = None
+            for dy in range(3):
+                hdot = lambda t, w_ref: jax.lax.dot_general(
+                    t[dy:dy + bh].reshape(bh * t.shape[1], -1),
+                    w_ref[dy], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                l = hdot(xl, wl_ref)
+                r = hdot(xr, wr_ref)
+                accl = l if accl is None else accl + l
+                accr = r if accr is None else accr + r
+            # left-halo: group g consumes group g-1's last column (zero at
+            # g=0); right-halo: group g+1's first column (zero at G-1)
+            accl = jnp.where(gidx == 0, 0.0,
+                             pltpu.roll(accl.reshape(sh), 1, 1))
+            accr = jnp.where(gidx == g - 1, 0.0,
+                             pltpu.roll(accr.reshape(sh), g - 1, 1))
+            acc = acc.reshape(sh) + accl + accr
         if has_add:
             # Pre-affine additive term (the decoder's closed-form broadcast
             # embedding contribution): spatially constant except at the
             # H borders, so it arrives as 3 rows {top, interior, bottom}
-            # (B, 3, G, s*cout) and is expanded per-row here — the full
-            # (B, H, G, s*cout) tensor (and the two relayout copies XLA
-            # wrapped around it) never exists in HBM.
+            # (B, 3, G, s*cout).  The interior plane adds in ONE
+            # row-broadcast pass; the image's first/last rows differ only
+            # in the pid==0 / pid==last blocks, so they are patched as
+            # 1-row deltas instead of a full-tensor 3-way select (the
+            # select chain was ~5 VPU passes over the whole block — a
+            # third of the kernel's non-MXU time).
+            mid = add_ref[0, 1].astype(jnp.float32)
+            dtop = (add_ref[0, 0].astype(jnp.float32) - mid)[None]
+            dbot = (add_ref[0, 2].astype(jnp.float32) - mid)[None]
             rid = jax.lax.broadcasted_iota(jnp.int32, sh, 0)
-            top = jnp.broadcast_to(add_ref[0, 0][None], sh)
-            mid = jnp.broadcast_to(add_ref[0, 1][None], sh)
-            bot = jnp.broadcast_to(add_ref[0, 2][None], sh)
-            sel = jnp.where(jnp.logical_and(rid == 0, pid == 0), top,
-                            jnp.where(jnp.logical_and(rid == bh - 1,
-                                                      pid == last), bot, mid))
-            acc = acc + sel.astype(jnp.float32)
+            acc = (acc + mid[None]
+                   + jnp.where((rid == 0) & (pid == 0), dtop, 0.0)
+                   + jnp.where((rid == bh - 1) & (pid == last), dbot, 0.0))
         if has_affine:
-            acc = acc * a_ref[0] + b_ref[0]
+            # Scale is pre-folded into the weights (see caller); only the
+            # bias survives to the epilogue — one add instead of mul+add.
+            acc = acc + b_ref[0]
         if relu:
             acc = jnp.maximum(acc, 0.0)
         out_ref[0] = acc.astype(out_dtype)
@@ -182,7 +214,9 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
     """3x3 SAME conv over a virtual concat of lane-packed parts.
 
     parts[p]: (B, H, G, s*cin_p); wps[p]: the ``pack_weights`` tensor
-    reshaped to (3, (s+2)*cin_p, s*cout); ``add``: optional compact
+    reshaped to (3, (s+2)*cin_p, s*cout) — it MUST come from
+    ``pack_weights`` (the halo-row sparsity it guarantees is load-bearing
+    for the single-part path); ``add``: optional compact
     (B, 3, G, s*cout) term — rows {y=0, interior, y=H-1} — summed into the
     conv result *before* the affine (the decoder's broadcast-embedding
     contribution, H-broadcast in VMEM); ``affine``: optional (scale, bias)
@@ -195,22 +229,41 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
     assert bh is not None, (parts[0].shape, cins, s, cout)
     dtype = parts[0].dtype
 
-    # Split each packed-weight tensor into its main band and the two halo
-    # slices; stack the halo slices of all parts along K so the kernel runs
-    # ONE dot per side (K = Σcin) instead of one K=cin dot per part.
+    # Fold the affine SCALE into the weights (y = conv(w·a) + (add·a) + b):
+    # the epilogue then pays one bias add instead of mul+add, and the halo
+    # terms inherit the scaling through their weight slices for free.
+    if affine is not None:
+        a, bvec = affine
+        wps = [w * a.astype(w.dtype)[None, None, :] for w in wps]
+        if add is not None:
+            add = add * a.astype(add.dtype)[None, None, None, :]
+    # Split each packed-weight tensor into its main band and the halo
+    # slices.  Multi-part: stack the halo slices of all parts along K so
+    # the kernel runs ONE dot per side (K = Σcin) instead of one K=cin dot
+    # per part.  Single part: scatter BOTH sides into one (s*cin, s*cout)
+    # matrix dotted against xh directly (pack_weights guarantees the halo
+    # rows only touch the edge sub-columns' output lanes, so the two sides
+    # land in disjoint lanes) — kills the in-kernel lane-slice builds and
+    # the K=cin pad-to-128 halo passes.
     wms = [w[:, cin:(s + 1) * cin] for w, cin in zip(wps, cins)]
-    wl = jnp.concatenate([w[:, :cin] for w, cin in zip(wps, cins)], axis=1)
-    wr = jnp.concatenate([w[:, (s + 1) * cin:] for w, cin in zip(wps, cins)],
-                         axis=1)
-    wps = [*wms, wl, wr]
+    if len(cins) == 1:
+        w, cin = wps[0], cins[0]
+        wh = jnp.zeros((3, s * cin, s * cout), w.dtype)
+        wh = wh.at[:, (s - 1) * cin:, :cout].set(w[:, :cin, :cout])
+        wh = wh.at[:, :cin, (s - 1) * cout:].set(
+            w[:, (s + 1) * cin:, (s - 1) * cout:])
+        wps = [*wms, wh]
+    else:
+        wl = jnp.concatenate([w[:, :cin] for w, cin in zip(wps, cins)],
+                             axis=1)
+        wr = jnp.concatenate(
+            [w[:, (s + 1) * cin:] for w, cin in zip(wps, cins)], axis=1)
+        wps = [*wms, wl, wr]
     wp_specs = [pl.BlockSpec(w.shape, lambda bi, i: (0, 0, 0)) for w in wps]
     affine_specs, affine_args = [], []
     if affine is not None:
-        a, bvec = affine
-        affine_args = [a.reshape(1, -1).astype(jnp.float32),
-                       bvec.reshape(1, -1).astype(jnp.float32)]
-        affine_specs = [pl.BlockSpec((1, s * cout), lambda bi, i: (0, 0))
-                        for _ in range(2)]
+        affine_args = [bvec.reshape(1, -1).astype(jnp.float32)]
+        affine_specs = [pl.BlockSpec((1, s * cout), lambda bi, i: (0, 0))]
     add_specs, add_args = [], []
     if add is not None:
         assert add.shape == (b, 3, g, s * cout), (add.shape, parts[0].shape)
