@@ -114,7 +114,8 @@ class MetaUNet(nn.Module):
         def up_cat(deep, skip, out_pack=1):
             hw = ((skip.x.shape[1], skip.x.shape[2] * skip.s)
                   if isinstance(skip, Packed) else skip.shape[1:3])
-            u = upsample_like(deep, hw, pre_scale=2, out_pack=out_pack)
+            u = upsample_like(deep, hw, pre_scale=2, out_pack=out_pack,
+                              prefer_xla=train)
             if isinstance(u, Packed):
                 u = Packed(u.x.astype(cd), u.cin)
             else:

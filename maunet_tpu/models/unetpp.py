@@ -128,7 +128,7 @@ class MetaUNetPP(nn.Module):
             # target size is static.
             hw = (maps.shape[1] // 2 ** lvl, widths[lvl])
             y = upsample_like(x, hw, pre_scale=None,
-                              out_pack=s_lvl[lvl])
+                              out_pack=s_lvl[lvl], prefer_xla=train)
             if isinstance(y, Packed):
                 return Packed(y.x.astype(cd), y.cin)
             return y.astype(cd)

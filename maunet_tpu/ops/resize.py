@@ -45,7 +45,7 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
 
 
 def resize_align_corners(x: jnp.ndarray, out_hw: tuple[int, int],
-                         out_pack: int = 1):
+                         out_pack: int = 1, prefer_xla: bool = False):
     """Bilinear align-corners resize of an NHWC tensor to ``out_hw``.
 
     Exactly matches ``torch.nn.functional.interpolate(x_nchw, size=out_hw,
@@ -70,7 +70,8 @@ def resize_align_corners(x: jnp.ndarray, out_hw: tuple[int, int],
         b, h, gi, sc = x.x.shape
         w, c = gi * x.s, x.cin
         oh, ow = out_hw
-        if jax.default_backend() == "tpu" and (h, w) != (oh, ow):
+        if (jax.default_backend() == "tpu" and not prefer_xla
+                and (h, w) != (oh, ow)):
             from maunet_tpu.ops.pallas import resize_pack as rp
 
             if rp.supported((h, w), (oh, ow), out_pack, c, s_in=x.s):
@@ -88,7 +89,7 @@ def resize_align_corners(x: jnp.ndarray, out_hw: tuple[int, int],
         from maunet_tpu.ops.packed_conv import pack
 
         return pack(x, out_pack)
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not prefer_xla:
         from maunet_tpu.ops.pallas import resize_pack as rp
 
         if rp.supported((h, w), (oh, ow), out_pack, c):
@@ -156,7 +157,8 @@ def upsample_align_corners(x: jnp.ndarray, scale: int = 2) -> jnp.ndarray:
 
 
 def upsample_like(x: jnp.ndarray, target_hw: tuple[int, int],
-                  pre_scale: int | None = 2, out_pack: int = 1):
+                  pre_scale: int | None = 2, out_pack: int = 1,
+                  prefer_xla: bool = False):
     """Replicates the reference decoder's upsample-then-fix-size composition.
 
     The U-Net decoder applies ``self.up`` (scale-2 align-corners upsample) and
@@ -168,6 +170,11 @@ def upsample_like(x: jnp.ndarray, target_hw: tuple[int, int],
     ``pre_scale=None`` performs a single resize to ``target_hw`` — the U-Net++
     behaviour (reference src/model.py:111-121).  ``out_pack=s`` returns the
     lane-packed form (see :func:`resize_align_corners`).
+
+    ``prefer_xla=True`` (the TRAIN path) skips the layout-pinning Pallas
+    kernel: the train graph's backward convs want XLA's H-minor layouts,
+    and the round-3 train trace showed the pinned canonical output buying
+    four ~0.33 ms relayout copies per step instead of saving them.
     """
     from maunet_tpu.ops.packed_conv import Packed
 
@@ -182,10 +189,14 @@ def upsample_like(x: jnp.ndarray, target_hw: tuple[int, int],
             # fix-up resize is the identity and the composition is one
             # resize — emitted directly in the requested packed form.
             return resize_align_corners(x, tuple(target_hw),
-                                        out_pack=out_pack)
+                                        out_pack=out_pack,
+                                        prefer_xla=prefer_xla)
         if isinstance(x, Packed):
             x = x.unpack()
-        x = upsample_align_corners(x, pre_scale)
+        x = resize_align_corners(x, (x.shape[1] * pre_scale,
+                                     x.shape[2] * pre_scale),
+                                 prefer_xla=prefer_xla)
     if hw_of(x) != tuple(target_hw) or out_pack > 1:
-        x = resize_align_corners(x, tuple(target_hw), out_pack=out_pack)
+        x = resize_align_corners(x, tuple(target_hw), out_pack=out_pack,
+                                 prefer_xla=prefer_xla)
     return x
