@@ -74,12 +74,8 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
 
     def kernel(*refs):
         wm_refs = refs[:n_parts]
-        if n_parts == 1:
-            wl_ref, wr_ref = refs[1], None   # combined halo matrix
-            k = 2
-        else:
-            wl_ref, wr_ref = refs[n_parts], refs[n_parts + 1]
-            k = n_parts + 2
+        wh_ref = refs[n_parts]   # combined halo matrix (both sides)
+        k = n_parts + 1
         if has_affine:
             b_ref = refs[k]
             k += 1
@@ -127,53 +123,44 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
         g = out_ref.shape[2]
         sh = (bh, g, s * cout)
         gidx = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+        # Both halo sides ride ONE dot per dy against a combined matrix —
+        # the sides touch disjoint output lanes (left -> [:cout], right ->
+        # [(s-1)*cout:], a pack_weights invariant), so their contributions
+        # separate by lane masks after the dot.  The contributions computed
+        # at group g belong to its neighbours, so the f32 result is rolled
+        # one group each way under those masks.
         if n_parts == 1:
-            # Single part: both halo sides ride ONE extended-weight dot per
-            # dy on xh itself — wl/wr are scattered into a (s*cin, s*cout)
-            # matrix at the rows of the part's edge sub-columns (they touch
-            # disjoint output lanes: left -> [:cout], right ->
-            # [(s-1)*cout:], a pack_weights invariant).  No lane-slice /
-            # concat builds, and K=cin pad-to-128 halo dots collapse into
-            # full-K passes — measured 574 -> 442 us on the 64-ch s=2 row.
-            xh = xhs[0]
-            acch = None
-            for dy in range(3):
-                hh = jax.lax.dot_general(
-                    xh[dy:dy + bh].reshape(bh * xh.shape[1], -1),
-                    wl_ref[dy], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acch = hh if acch is None else acch + hh
-            acch = acch.reshape(sh)
-            lidx = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
-            rl = pltpu.roll(acch, 1, 1)        # from group g-1
-            rr = pltpu.roll(acch, g - 1, 1)    # from group g+1
-            acc = (acc.reshape(sh)
-                   + jnp.where((lidx < cout) & (gidx > 0), rl, 0.0)
-                   + jnp.where((lidx >= (s - 1) * cout) & (gidx < g - 1),
-                               rr, 0.0))
+            # Single part: the dot runs on xh itself with wl/wr scattered
+            # into a (s*cin, s*cout) matrix at the rows of the part's edge
+            # sub-columns.  No lane-slice / concat builds, and K=cin
+            # pad-to-128 halo dots collapse into full-K passes — measured
+            # 574 -> 442 us on the 64-ch s=2 row.
+            xlr = xhs[0]
         else:
-            xl = jnp.concatenate(
-                [xh[:, :, (s - 1) * c:s * c] for xh, c in zip(xhs, cins)],
-                axis=-1)
-            xr = jnp.concatenate(
-                [xh[:, :, :c] for xh, c in zip(xhs, cins)], axis=-1)
-            accl = accr = None
-            for dy in range(3):
-                hdot = lambda t, w_ref: jax.lax.dot_general(
-                    t[dy:dy + bh].reshape(bh * t.shape[1], -1),
-                    w_ref[dy], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                l = hdot(xl, wl_ref)
-                r = hdot(xr, wr_ref)
-                accl = l if accl is None else accl + l
-                accr = r if accr is None else accr + r
-            # left-halo: group g consumes group g-1's last column (zero at
-            # g=0); right-halo: group g+1's first column (zero at G-1)
-            accl = jnp.where(gidx == 0, 0.0,
-                             pltpu.roll(accl.reshape(sh), 1, 1))
-            accr = jnp.where(gidx == g - 1, 0.0,
-                             pltpu.roll(accr.reshape(sh), g - 1, 1))
-            acc = acc.reshape(sh) + accl + accr
+            # Multi part: lane-concat every part's LAST sub-column, then
+            # every part's FIRST — one K=2*sum(cin) dot replaces the two
+            # per-side K=sum(cin) dots (each padded up to an MXU multiple:
+            # ceil(2S/128) <= 2*ceil(S/128) passes, strictly fewer whenever
+            # sum(cin) mod 128 lands in [8, 64] — e.g. the classic U-Net's
+            # conv0_1 at 64+128 ch: 2 vs 4 halo passes per dy).
+            xlr = jnp.concatenate(
+                [xh[:, :, (s - 1) * c:s * c] for xh, c in zip(xhs, cins)]
+                + [xh[:, :, :c] for xh, c in zip(xhs, cins)], axis=-1)
+        acch = None
+        for dy in range(3):
+            hh = jax.lax.dot_general(
+                xlr[dy:dy + bh].reshape(bh * xlr.shape[1], -1),
+                wh_ref[dy], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acch = hh if acch is None else acch + hh
+        acch = acch.reshape(sh)
+        lidx = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
+        rl = pltpu.roll(acch, 1, 1)        # from group g-1
+        rr = pltpu.roll(acch, g - 1, 1)    # from group g+1
+        acc = (acc.reshape(sh)
+               + jnp.where((lidx < cout) & (gidx > 0), rl, 0.0)
+               + jnp.where((lidx >= (s - 1) * cout) & (gidx < g - 1),
+                           rr, 0.0))
         if has_add:
             # Pre-affine additive term (the decoder's closed-form broadcast
             # embedding contribution): spatially constant except at the
@@ -215,8 +202,9 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
 
     parts[p]: (B, H, G, s*cin_p); wps[p]: the ``pack_weights`` tensor
     reshaped to (3, (s+2)*cin_p, s*cout) — it MUST come from
-    ``pack_weights`` (the halo-row sparsity it guarantees is load-bearing
-    for the single-part path); ``add``: optional compact
+    ``pack_weights`` (the halo rows touching only the edge sub-columns'
+    output lanes is load-bearing for the combined halo dot); ``add``:
+    optional compact
     (B, 3, G, s*cout) term — rows {y=0, interior, y=H-1} — summed into the
     conv result *before* the affine (the decoder's broadcast-embedding
     contribution, H-broadcast in VMEM); ``affine``: optional (scale, bias)
@@ -237,14 +225,15 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
         wps = [w * a.astype(w.dtype)[None, None, :] for w in wps]
         if add is not None:
             add = add * a.astype(add.dtype)[None, None, None, :]
-    # Split each packed-weight tensor into its main band and the halo
-    # slices.  Multi-part: stack the halo slices of all parts along K so
-    # the kernel runs ONE dot per side (K = Σcin) instead of one K=cin dot
-    # per part.  Single part: scatter BOTH sides into one (s*cin, s*cout)
-    # matrix dotted against xh directly (pack_weights guarantees the halo
-    # rows only touch the edge sub-columns' output lanes, so the two sides
-    # land in disjoint lanes) — kills the in-kernel lane-slice builds and
-    # the K=cin pad-to-128 halo passes.
+    # Split each packed-weight tensor into its main band and ONE combined
+    # halo matrix (both sides touch disjoint output lanes — a pack_weights
+    # invariant — so they share a dot).  Single part: scatter both sides
+    # into a (s*cin, s*cout) matrix dotted against xh directly, killing
+    # the in-kernel lane-slice builds and the K=cin pad-to-128 halo
+    # passes.  Multi part: row-stack every part's left slice then every
+    # part's right slice into a (2*Σcin, s*cout) matrix, dotted against
+    # the matching lane-concat of edge sub-columns — ceil(2Σ/128) MXU
+    # passes instead of the former per-side 2*ceil(Σ/128).
     wms = [w[:, cin:(s + 1) * cin] for w, cin in zip(wps, cins)]
     if len(cins) == 1:
         w, cin = wps[0], cins[0]
@@ -252,13 +241,11 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
         wh = wh.at[:, (s - 1) * cin:, :cout].set(w[:, :cin, :cout])
         wh = wh.at[:, :cin, (s - 1) * cout:].set(
             w[:, (s + 1) * cin:, (s - 1) * cout:])
-        wps = [*wms, wh]
     else:
-        wl = jnp.concatenate([w[:, :cin] for w, cin in zip(wps, cins)],
-                             axis=1)
-        wr = jnp.concatenate(
-            [w[:, (s + 1) * cin:] for w, cin in zip(wps, cins)], axis=1)
-        wps = [*wms, wl, wr]
+        wh = jnp.concatenate(
+            [w[:, :cin] for w, cin in zip(wps, cins)]
+            + [w[:, (s + 1) * cin:] for w, cin in zip(wps, cins)], axis=1)
+    wps = [*wms, wh]
     wp_specs = [pl.BlockSpec(w.shape, lambda bi, i: (0, 0, 0)) for w in wps]
     affine_specs, affine_args = [], []
     if affine is not None:
