@@ -68,14 +68,33 @@ def _pick_bh(h, g, cins, s, cout):
     return None
 
 
+def _per_part_halo(cins, s: int) -> bool:
+    """Per-part extended-weight halo dots vs ONE combined lane-concat dot.
+
+    Per part, both halo sides scatter into a (s*cin, s*cout) matrix dotted
+    against the already-built xh rows (no lane-slice/concat build — the
+    single-part trick of TRACE.md §7.9).  The combined form instead builds
+    an xlr lane-concat of every part's edge sub-columns (a full VPU copy of
+    the block) but contracts in ceil(2*sum(cin)/128) MXU passes.  Take the
+    build-free form whenever it needs no MORE passes: true for the classic
+    U-Net decoder (s*cin of 128/256: 3 = 3), false for U-Net++'s many 32-ch
+    parts (4x1+2 = 6 > 3), where the measured 834 -> 955 tiles/s win of the
+    combined dot stands."""
+    per_part = sum(-(-s * c // 128) for c in cins)
+    combined = -(-2 * sum(cins) // 128)
+    return per_part <= combined
+
+
 def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
                  has_affine: bool, has_add: bool, out_dtype):
     n_parts = len(cins)
+    per_part_halo = _per_part_halo(cins, s)
+    n_halo = n_parts if per_part_halo else 1
 
     def kernel(*refs):
         wm_refs = refs[:n_parts]
-        wh_ref = refs[n_parts]   # combined halo matrix (both sides)
-        k = n_parts + 1
+        wh_refs = refs[n_parts:n_parts + n_halo]  # halo matrices
+        k = n_parts + n_halo
         if has_affine:
             b_ref = refs[k]
             k += 1
@@ -129,30 +148,39 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
         # separate by lane masks after the dot.  The contributions computed
         # at group g belong to its neighbours, so the f32 result is rolled
         # one group each way under those masks.
-        if n_parts == 1:
-            # Single part: the dot runs on xh itself with wl/wr scattered
-            # into a (s*cin, s*cout) matrix at the rows of the part's edge
-            # sub-columns.  No lane-slice / concat builds, and K=cin
-            # pad-to-128 halo dots collapse into full-K passes — measured
-            # 574 -> 442 us on the 64-ch s=2 row.
-            xlr = xhs[0]
+        if per_part_halo:
+            # Per-part extended-weight halo: each part's wl/wr scatter into
+            # a (s*cin, s*cout) matrix at the rows of that part's edge
+            # sub-columns, dotted against its xh IN PLACE.  No lane-slice /
+            # concat builds (the xlr assembly below copies the whole block
+            # through the VPU); gated on needing no more MXU passes than
+            # the combined dot (_per_part_halo) — measured 574 -> 442 us on
+            # the single-part 64-ch s=2 row, extended here to multi-part
+            # rows like the classic U-Net's conv0_1 (s*cin 128+256).
+            acch = None
+            for p in range(n_parts):
+                for dy in range(3):
+                    hh = jax.lax.dot_general(
+                        xhs[p][dy:dy + bh].reshape(bh * xhs[p].shape[1], -1),
+                        wh_refs[p][dy], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acch = hh if acch is None else acch + hh
         else:
             # Multi part: lane-concat every part's LAST sub-column, then
             # every part's FIRST — one K=2*sum(cin) dot replaces the two
             # per-side K=sum(cin) dots (each padded up to an MXU multiple:
             # ceil(2S/128) <= 2*ceil(S/128) passes, strictly fewer whenever
-            # sum(cin) mod 128 lands in [8, 64] — e.g. the classic U-Net's
-            # conv0_1 at 64+128 ch: 2 vs 4 halo passes per dy).
+            # sum(cin) mod 128 lands in [8, 64]).
             xlr = jnp.concatenate(
                 [xh[:, :, (s - 1) * c:s * c] for xh, c in zip(xhs, cins)]
                 + [xh[:, :, :c] for xh, c in zip(xhs, cins)], axis=-1)
-        acch = None
-        for dy in range(3):
-            hh = jax.lax.dot_general(
-                xlr[dy:dy + bh].reshape(bh * xlr.shape[1], -1),
-                wh_ref[dy], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acch = hh if acch is None else acch + hh
+            acch = None
+            for dy in range(3):
+                hh = jax.lax.dot_general(
+                    xlr[dy:dy + bh].reshape(bh * xlr.shape[1], -1),
+                    wh_refs[0][dy], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acch = hh if acch is None else acch + hh
         acch = acch.reshape(sh)
         lidx = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
         rl = pltpu.roll(acch, 1, 1)        # from group g-1
@@ -225,27 +253,29 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
         wps = [w * a.astype(w.dtype)[None, None, :] for w in wps]
         if add is not None:
             add = add * a.astype(add.dtype)[None, None, None, :]
-    # Split each packed-weight tensor into its main band and ONE combined
-    # halo matrix (both sides touch disjoint output lanes — a pack_weights
-    # invariant — so they share a dot).  Single part: scatter both sides
-    # into a (s*cin, s*cout) matrix dotted against xh directly, killing
-    # the in-kernel lane-slice builds and the K=cin pad-to-128 halo
-    # passes.  Multi part: row-stack every part's left slice then every
-    # part's right slice into a (2*Σcin, s*cout) matrix, dotted against
-    # the matching lane-concat of edge sub-columns — ceil(2Σ/128) MXU
-    # passes instead of the former per-side 2*ceil(Σ/128).
+    # Split each packed-weight tensor into its main band plus halo
+    # matrices (both sides touch disjoint output lanes — a pack_weights
+    # invariant — so they share a dot).  Two halo forms, picked by MXU
+    # pass count (_per_part_halo): per-part, both sides scatter into a
+    # (s*cin, s*cout) matrix dotted against that part's xh directly (no
+    # lane-slice builds); otherwise row-stack every part's left slice then
+    # every part's right slice into ONE (2*Σcin, s*cout) matrix, dotted
+    # against the matching lane-concat of edge sub-columns — ceil(2Σ/128)
+    # passes instead of the per-part sum.
     wms = [w[:, cin:(s + 1) * cin] for w, cin in zip(wps, cins)]
-    if len(cins) == 1:
-        w, cin = wps[0], cins[0]
-        wh = jnp.zeros((3, s * cin, s * cout), w.dtype)
-        wh = wh.at[:, (s - 1) * cin:, :cout].set(w[:, :cin, :cout])
-        wh = wh.at[:, :cin, (s - 1) * cout:].set(
-            w[:, (s + 1) * cin:, (s - 1) * cout:])
+    if _per_part_halo(cins, s):
+        whs = []
+        for w, cin in zip(wps, cins):
+            wh = jnp.zeros((3, s * cin, s * cout), w.dtype)
+            wh = wh.at[:, (s - 1) * cin:, :cout].set(w[:, :cin, :cout])
+            wh = wh.at[:, :cin, (s - 1) * cout:].set(
+                w[:, (s + 1) * cin:, (s - 1) * cout:])
+            whs.append(wh)
     else:
-        wh = jnp.concatenate(
+        whs = [jnp.concatenate(
             [w[:, :cin] for w, cin in zip(wps, cins)]
-            + [w[:, (s + 1) * cin:] for w, cin in zip(wps, cins)], axis=1)
-    wps = [*wms, wh]
+            + [w[:, (s + 1) * cin:] for w, cin in zip(wps, cins)], axis=1)]
+    wps = [*wms, *whs]
     wp_specs = [pl.BlockSpec(w.shape, lambda bi, i: (0, 0, 0)) for w in wps]
     affine_specs, affine_args = [], []
     if affine is not None:

@@ -252,15 +252,23 @@ def test_resize_pack_vjp_matches_einsum_grad(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
 
-def test_packed_vgg_kernel_matches_xla(rng):
+@pytest.mark.parametrize("h,w,s,cout,cins", [
+    # combined-halo path (many small parts: per-part would need more passes)
+    (32, 64, 4, 32, (32, 32, 16)),
+    # per-part extended-weight halo path (the classic U-Net conv0_1 shape
+    # class: every s*cin a multiple of 128, equal pass counts)
+    (16, 32, 2, 64, (64, 128)),
+])
+def test_packed_vgg_kernel_matches_xla(rng, h, w, s, cout, cins):
     """Fused packed conv+affine+ReLU kernel (interpret) vs the part-wise
     packed_conv path, with and without the pre-affine add term."""
     from maunet_tpu.ops.packed_conv import pack, pack_weights, packed_conv
-    from maunet_tpu.ops.pallas.packed_vgg import (packed_conv3x3_fused,
+    from maunet_tpu.ops.pallas.packed_vgg import (_per_part_halo,
+                                                  packed_conv3x3_fused,
                                                   supported)
 
-    b, h, w, s, cout = 2, 32, 64, 4, 32
-    cins = (32, 32, 16)
+    b = 2
+    assert _per_part_halo(cins, s) == (len(cins) == 2)
     xs = [jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
           for c in cins]
     ks = [jnp.asarray(rng.normal(size=(3, 3, c, cout)) * 0.1, jnp.float32)
