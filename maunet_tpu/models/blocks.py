@@ -420,7 +420,9 @@ class VGGBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Parts, train: bool = False):
-        parts = list(x) if isinstance(x, (list, tuple)) else [x]
+        # NB: Packed is a NamedTuple — exclude it from the sequence check.
+        parts = (list(x) if isinstance(x, (list, tuple))
+                 and not isinstance(x, Packed) else [x])
         if self.packed_io:
             assert not train, "packed_io is an inference-only mode"
             return self._call_packed(parts)
@@ -512,7 +514,8 @@ class PackedConv1x1(nn.Module):
         return Packed(out, self.features)
 
 
-def max_pool_2x2(x: jnp.ndarray | Packed) -> jnp.ndarray:
+def max_pool_2x2(x: jnp.ndarray | Packed,
+                 out_packed: bool = False) -> jnp.ndarray | Packed:
     """2×2/stride-2 max pool, floor semantics for odd sizes (torch
     ``nn.MaxPool2d(2, 2)``, reference src/model.py:58,218): 31 → 15.
 
@@ -520,7 +523,11 @@ def max_pool_2x2(x: jnp.ndarray | Packed) -> jnp.ndarray:
     adjacent columns *within* a group, which in packed channel order is an
     elementwise max of channel slices — no unpack reshape (the unpack view
     fed to ``reduce_window`` costs a layout copy + a 2× slower pool, round-3
-    trace).  Returns the unpacked pooled tensor.
+    trace).  Returns the unpacked pooled tensor — or, with ``out_packed``
+    and a pooled pack factor still >= 2, the :class:`Packed` s/2 form
+    directly: a consumer whose own pack factor is s/2 (U-Net++'s conv1_0,
+    s=4 row pooled into the s=2 row) then reads it in place instead of
+    paying an unpack+repack relayout pair.
     """
     if isinstance(x, Packed):
         s, c = x.s, x.cin
@@ -535,6 +542,8 @@ def max_pool_2x2(x: jnp.ndarray | Packed) -> jnp.ndarray:
         # tensor ran ~7x off bandwidth in the round-3 trace.
         b, h, g, sc = m.shape
         m = m.reshape(b, h // 2, 2, g, sc).max(axis=2)
+        if out_packed and s // 2 >= 2:
+            return Packed(m, c)
         return Packed(m, c).unpack()
     b, h, w, c = x.shape
     x = x[:, : h // 2 * 2, : w // 2 * 2]  # floor semantics for odd sizes

@@ -133,24 +133,30 @@ class MetaUNetPP(nn.Module):
                 return Packed(y.x.astype(cd), y.cin)
             return y.astype(cd)
 
-        def pool(x):
-            return max_pool_2x2(x)  # packed-aware (blocks.max_pool_2x2)
+        def pool(x, lvl):
+            # Hand the pooled tensor over in packed form when the consumer
+            # level's pack factor is exactly s/2 (256² s_lvl 4 -> 2): the
+            # consumer reads it in place, skipping an unpack+repack
+            # relayout pair (blocks.max_pool_2x2).
+            keep = (isinstance(x, Packed) and x.s // 2 >= 2
+                    and s_lvl[lvl] == x.s // 2)
+            return max_pool_2x2(x, out_packed=keep)
 
         x0_0 = vgg("conv0_0", nb[0], nb[0], 0)(maps, train)
-        x1_0 = vgg("conv1_0", nb[1], nb[1], 1)(pool(x0_0), train)
+        x1_0 = vgg("conv1_0", nb[1], nb[1], 1)(pool(x0_0, 1), train)
         x0_1 = node("conv0_1", nb[0], nb[0], 0, [x0_0, up(x1_0, 0)])
 
-        x2_0 = vgg("conv2_0", nb[2], nb[2], 2)(pool(x1_0), train)
+        x2_0 = vgg("conv2_0", nb[2], nb[2], 2)(pool(x1_0, 2), train)
         x1_1 = node("conv1_1", nb[1], nb[1], 1, [x1_0, up(x2_0, 1)])
         x0_2 = node("conv0_2", nb[0], nb[0], 0, [x0_0, x0_1, up(x1_1, 0)])
 
-        x3_0 = vgg("conv3_0", nb[3], nb[3], 3)(pool(x2_0), train)
+        x3_0 = vgg("conv3_0", nb[3], nb[3], 3)(pool(x2_0, 3), train)
         x2_1 = node("conv2_1", nb[2], nb[2], 2, [x2_0, up(x3_0, 2)])
         x1_2 = node("conv1_2", nb[1], nb[1], 1, [x1_0, x1_1, up(x2_1, 1)])
         x0_3 = node("conv0_3", nb[0], nb[0], 0,
                     [x0_0, x0_1, x0_2, up(x1_2, 0)])
 
-        x4_0 = vgg("conv4_0", nb[4], nb[4], 4)(pool(x3_0), train)
+        x4_0 = vgg("conv4_0", nb[4], nb[4], 4)(pool(x3_0, 4), train)
         x3_1 = node("conv3_1", nb[3], nb[3], 3, [x3_0, up(x4_0, 3)])
         x2_2 = node("conv2_2", nb[2], nb[2], 2, [x2_0, x2_1, up(x3_1, 2)])
         x1_3 = node("conv1_3", nb[1], nb[1], 1,
