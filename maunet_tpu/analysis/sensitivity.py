@@ -41,6 +41,9 @@ LON_STEPS = 50
 LAT_RANGE = np.linspace(-60, 70, LAT_STEPS)     # avoid extreme poles (ref :218)
 LON_RANGE = np.linspace(-180, 180, LON_STEPS)
 HEAT_STEPS = 20
+TEMP_OFFSET_STEPS = 41
+# z-scored CRU units: ±2σ of local climate level
+TEMP_OFFSET_RANGE = np.linspace(-2.0, 2.0, TEMP_OFFSET_STEPS)
 
 
 def select_samples(df_eval: pd.DataFrame, max_samples: int = 1000,
@@ -271,4 +274,104 @@ def run_sensitivity(
                 key = os.path.splitext(os.path.basename(fig_path))[0]
                 # the .png twin — wandb.Image cannot ingest PDF
                 tracker.log_image(f"sensitivity/{key}", fig_path[:-4] + ".png")
+    return export_path
+
+
+def run_temporal_sensitivity(
+    checkpoint_path: str,
+    eval_csv: str,
+    cfg: Config | None = None,
+    data_dir: str | None = None,
+    output_dir: str = "reports/sensitivity",
+    max_samples: int = 24,
+    study_name: str = "temporal_sensitivity",
+    seed: int = 0,
+) -> str:
+    """Temporal analog of the latitude sweep (round-4, VERDICT r3 next #2):
+    shift the whole (z-scored) CRU series of each analyzed tile by a constant
+    offset δ ∈ [-2, 2] and record the per-channel spatial-mean response.
+
+    A model whose LSTM genuinely reads the recent local climate must respond
+    ~linearly in δ; on the planted-signal fixture (data/synthetic.py: the LST
+    target carries ``temporal_signal · mean(series[-12:])``), the recovered
+    LST slope in °C per z-unit must approach ``temporal_signal · temp_std``
+    while a temporal-blind model reads flat.  Exports
+    ``sensitivity_data_temporal_<model>.json`` with the same sweeps schema as
+    the metadata export (consumed by the same plotting/compare tooling).
+
+    No counterpart exists in the reference — its sensitivity suite sweeps
+    only metadata (test/metadata_sensitivity.py:217-220); the temporal
+    channel was its *best* NDVI variant yet never probed end-to-end.
+    """
+    cfg = cfg or Config()
+    data_dir = data_dir or cfg.paths.processed_image_dataset
+    os.makedirs(output_dir, exist_ok=True)
+
+    stats = NormalizationStats.from_json(
+        os.path.join(data_dir, "normalization_metrics.json"))
+    loaded = load_any_checkpoint(checkpoint_path, study_name)
+    hp = loaded.hyperparams
+    metadata_features = int(hp.get("metadata_input_length",
+                                   loaded.meta.get("metadata_input_length", 4)))
+    model_name = make_emb_tag(bool(hp.get("temporal_embeddings", True)),
+                              bool(hp.get("metadata_embeddings", True)))
+    if "++" in hp.get("model_type", "unet"):
+        model_name += "++"
+
+    df_eval = pd.read_csv(eval_csv)
+    all_indices, _, _, _ = select_samples(df_eval, max_samples, seed)
+    ds = NpzDataset(os.path.join(data_dir, "test"),
+                    temporal_length=cfg.dataset.temporal_length)
+    channels = list(cfg.dataset.target_channels)
+    n = TEMP_OFFSET_STEPS
+
+    def sweep_forward(variables, maps, series, lengths, meta_full):
+        out = loaded.model.apply(variables, maps, series, meta_full, lengths)
+        means = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
+        lst = means[:, 1] * stats.temp_std + stats.temp_mean
+        return jnp.stack([means[:, 0], lst], axis=1)
+
+    sweep_jit = jax.jit(sweep_forward)
+    offsets = jnp.asarray(TEMP_OFFSET_RANGE, jnp.float32)
+
+    accum = {ch: [] for ch in channels}
+    for sample_idx in all_indices:
+        sample = ds[int(sample_idx)]
+        maps = jnp.broadcast_to(jnp.asarray(sample["maps"]),
+                                (n, *sample["maps"].shape))
+        # shift only the valid prefix (padding stays zero; the LSTM masks it
+        # out anyway under per_sample, but batch_max-mode imports read it)
+        t = sample["temp_series"].shape[0]
+        valid = (np.arange(t) < int(sample["temp_lengths"])).astype(np.float32)
+        series = (jnp.asarray(sample["temp_series"])[None]
+                  + offsets[:, None] * jnp.asarray(valid)[None])
+        lengths = jnp.full((n,), sample["temp_lengths"], jnp.int32)
+        meta = jnp.broadcast_to(jnp.asarray(sample["metadata"]), (n, 4))
+        if metadata_features == 8:
+            dates = np.concatenate([sample["t1_dates"], sample["t2_dates"]])
+            meta = jnp.concatenate(
+                [meta, jnp.broadcast_to(jnp.asarray(dates), (n, 4))], axis=1)
+        vals = np.asarray(sweep_jit(loaded.variables, maps, series, lengths,
+                                    meta))
+        for c, ch in enumerate(channels):
+            accum[ch].append(vals[:, c])
+
+    export = {
+        "model_name": model_name,
+        "model_type": hp.get("model_type", "unet"),
+        "sweeps": {"temporal_offset": {
+            "x": TEMP_OFFSET_RANGE.tolist(),
+            "channels": {
+                ch: {"mean": np.stack(accum[ch]).mean(axis=0).tolist(),
+                     "std": np.stack(accum[ch]).std(axis=0).tolist()}
+                for ch in channels
+            },
+        }},
+        "heatmaps": {},
+    }
+    export_path = os.path.join(
+        output_dir, f"sensitivity_data_temporal_{model_name}.json")
+    with open(export_path, "w") as f:
+        json.dump(export, f, indent=4)
+    log.success(f"Saved temporal sensitivity data to {export_path}")
     return export_path

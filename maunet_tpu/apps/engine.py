@@ -94,7 +94,7 @@ class PlannerEngine:
     def __init__(self, checkpoint_path: str,
                  stats: NormalizationStats | None = None,
                  temp_query=None, temporal_length: int = 828,
-                 img_size: int = 512):
+                 img_size: int = 512, mesh=None):
         from maunet_tpu.evaluate.evaluator import load_any_checkpoint
 
         self.loaded = load_any_checkpoint(checkpoint_path)
@@ -108,6 +108,20 @@ class PlannerEngine:
         model = self.loaded.model
         self._forward = jax.jit(
             lambda v, m, s, md, ln: model.apply(v, m, s, md, ln))
+        # Optional device mesh: predict_many() serves request batches
+        # data-parallel over every mesh device (shard_map — the Pallas
+        # packed-resident path runs per shard; parallel/infer.py).
+        self.mesh = mesh
+        self._forward_many = None
+        if mesh is not None:
+            from maunet_tpu.parallel.infer import shard_batch_fn
+
+            def fwd(variables, batch):
+                return model.apply(
+                    variables, batch["maps"], batch["temp_series"],
+                    batch["metadata"], batch["temp_lengths"])
+
+            self._forward_many = shard_batch_fn(fwd, mesh)
         log.info(f"PlannerEngine ready: {self.loaded.hyperparams.get('model_type')} "
                  f"({checkpoint_path})")
 
@@ -174,6 +188,38 @@ class PlannerEngine:
         ndvi = out[..., 0]
         lst = out[..., 1] * self.stats.temp_std + self.stats.temp_mean
         return ndvi, lst
+
+    def predict_many(self, inputs: list[PlannerInput]
+                     ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Batched prediction over a request list — data-parallel over the
+        engine's mesh when one was given (requests pad up to a mesh multiple
+        with repeats; the pad rows are dropped before returning).  Falls back
+        to the single-device jit without a mesh."""
+        n = len(inputs)
+        batch = {
+            "maps": np.concatenate([i.maps for i in inputs]),
+            "metadata": np.concatenate([i.metadata for i in inputs]),
+            "temp_series": np.concatenate([i.temp_series for i in inputs]),
+            "temp_lengths": np.concatenate([i.temp_lengths for i in inputs]),
+        }
+        if self._forward_many is not None:
+            from maunet_tpu.parallel.infer import (flat_batch_sharding,
+                                                   round_up_to_mesh)
+
+            pad = round_up_to_mesh(n, self.mesh) - n
+            if pad:
+                batch = {k: np.concatenate([v] + [v[-1:]] * pad)
+                         for k, v in batch.items()}
+            sharding = flat_batch_sharding(self.mesh)
+            batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+            out = np.asarray(self._forward_many(self.loaded.variables, batch))[:n]
+        else:
+            out = np.asarray(self._forward(
+                self.loaded.variables, jnp.asarray(batch["maps"]),
+                jnp.asarray(batch["temp_series"]), jnp.asarray(batch["metadata"]),
+                jnp.asarray(batch["temp_lengths"])))
+        s = self.stats
+        return [(o[..., 0], o[..., 1] * s.temp_std + s.temp_mean) for o in out]
 
     def cooling_metric(self, lst_baseline: np.ndarray,
                        lst_modified: np.ndarray) -> float:

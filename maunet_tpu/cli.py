@@ -113,7 +113,8 @@ def cmd_evaluate(args) -> int:
         args.checkpoint_path, cfg, data_dir=args.data_dir,
         study_name=args.study_name, jobid=args.jobid,
         n_visualize=args.n_visualize, output_dir=args.output_dir,
-        batch_size=args.batch_size, precision=args.precision)
+        batch_size=args.batch_size, precision=args.precision,
+        use_mesh=args.use_mesh)
     return 0
 
 
@@ -365,6 +366,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--precision", default="bfloat16",
                     choices=["bfloat16", "float32"],
                     help="float32 for exact parity with reference numbers")
+    sp.add_argument("--use-mesh", action="store_true",
+                    help="run the eval hot loop data-parallel over all "
+                         "visible devices (shard_map; Pallas path included)")
     sp.set_defaults(fn=cmd_evaluate)
 
     sp = sub.add_parser("synth-data", help="generate a synthetic dataset")

@@ -118,10 +118,21 @@ def evaluate_checkpoint(
     batch_size: int | None = None,
     trackers: list | None = None,
     precision: str = "bfloat16",
+    mesh=None,
+    use_mesh: bool = False,
 ) -> pd.DataFrame:
+    """``mesh`` / ``use_mesh`` run the hot loop data-parallel over a device
+    mesh (all axes flattened — parallel.infer): the forward pass AND the
+    on-device metric reductions execute as one shard_map program per batch,
+    Pallas kernels included.  ``use_mesh=True`` without an explicit mesh
+    builds a 1-axis mesh over every visible device."""
     cfg = cfg or Config()
     data_dir = data_dir or cfg.paths.processed_image_dataset
     trackers = trackers or []
+    if mesh is None and use_mesh:
+        from maunet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()  # all devices on the data axis
 
     compute_dtype = jnp.float32 if precision == "float32" else jnp.bfloat16
     loaded = load_any_checkpoint(checkpoint_path, study_name,
@@ -147,8 +158,7 @@ def evaluate_checkpoint(
                     temporal_length=cfg.dataset.temporal_length)
     forward = make_forward_fn(loaded.model, metadata_features)
 
-    @jax.jit
-    def batch_metrics(variables, batch):
+    def _batch_metrics(variables, batch):
         outputs = forward(variables, batch)
         targets_un = unnormalize_targets(batch["targets"],  # type: ignore[arg-type]
                                          stats)
@@ -157,12 +167,25 @@ def evaluate_checkpoint(
         m = eval_metrics(outputs_un, targets_un, dw)
         return m, outputs_un, targets_un
 
+    batch_sharding = None
+    if mesh is not None:
+        from maunet_tpu.parallel.infer import (flat_batch_sharding,
+                                               round_up_to_mesh,
+                                               shard_batch_fn)
+
+        batch_size = round_up_to_mesh(batch_size, mesh)
+        batch_metrics = shard_batch_fn(_batch_metrics, mesh)
+        batch_sharding = flat_batch_sharding(mesh)
+    else:
+        batch_metrics = jax.jit(_batch_metrics)
+
     channels = list(cfg.dataset.target_channels)
     results: list[dict] = []
     sample_idx = 0
     created_visuals = 0
 
-    for batch in prefetch_to_device(make_batches(ds, batch_size)):
+    for batch in prefetch_to_device(make_batches(ds, batch_size),
+                                    sharding=batch_sharding):
         metrics, outputs_un, targets_un = batch_metrics(loaded.variables, batch)
         metrics = jax.device_get(metrics)
         valid = np.asarray(batch["valid"])

@@ -528,10 +528,18 @@ def max_pool_2x2(x: jnp.ndarray | Packed,
     directly: a consumer whose own pack factor is s/2 (U-Net++'s conv1_0,
     s=4 row pooled into the s=2 row) then reads it in place instead of
     paying an unpack+repack relayout pair.
+
+    ``out_packed=True`` is honored strictly: requesting it on an input whose
+    pooled pack factor would degenerate (s//2 < 2) is a caller bug and
+    asserts here — the return type is decided by the caller's request alone,
+    so a drifted caller gate fails loudly at the call site instead of
+    leaking a Packed into a non-packed_io block (ADVICE r3).
     """
     if isinstance(x, Packed):
         s, c = x.s, x.cin
         assert s % 2 == 0, s
+        assert not out_packed or s // 2 >= 2, (
+            f"out_packed requires a pooled pack factor >= 2 (input s={s})")
         xp = x.x  # (b, h, g, s*c); column p of group g is channels [p*c:(p+1)*c]
         pairs = [jnp.maximum(xp[..., (2 * i) * c:(2 * i + 1) * c],
                              xp[..., (2 * i + 1) * c:(2 * i + 2) * c])
@@ -542,7 +550,7 @@ def max_pool_2x2(x: jnp.ndarray | Packed,
         # tensor ran ~7x off bandwidth in the round-3 trace.
         b, h, g, sc = m.shape
         m = m.reshape(b, h // 2, 2, g, sc).max(axis=2)
-        if out_packed and s // 2 >= 2:
+        if out_packed:
             return Packed(m, c)
         return Packed(m, c).unpack()
     b, h, w, c = x.shape

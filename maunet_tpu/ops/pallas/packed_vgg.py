@@ -79,7 +79,14 @@ def _per_part_halo(cins, s: int) -> bool:
     build-free form whenever it needs no MORE passes: true for the classic
     U-Net decoder (s*cin of 128/256: 3 = 3), false for U-Net++'s many 32-ch
     parts (4x1+2 = 6 > 3), where the measured 834 -> 955 tiles/s win of the
-    combined dot stands."""
+    combined dot stands.
+
+    The tie-break ``<=`` compares MXU *pass counts only*: a per-part
+    (s*cin, s*cout) halo matrix can carry mostly-zero K rows (e.g. s=4 /
+    cin=32 dots K=128 where K=64 would suffice), but the MXU zero-pads K to
+    128 per pass anyway, so those rows cost nothing beyond the pass count on
+    current 128-wide hardware — an assumption to revisit if a future MXU
+    bills partial-K passes differently (ADVICE r3)."""
     per_part = sum(-(-s * c // 128) for c in cins)
     combined = -(-2 * sum(cins) // 128)
     return per_part <= combined

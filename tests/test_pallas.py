@@ -252,23 +252,25 @@ def test_resize_pack_vjp_matches_einsum_grad(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
 
-@pytest.mark.parametrize("h,w,s,cout,cins", [
+@pytest.mark.parametrize("h,w,s,cout,cins,per_part", [
     # combined-halo path (many small parts: per-part would need more passes)
-    (32, 64, 4, 32, (32, 32, 16)),
+    (32, 64, 4, 32, (32, 32, 16), False),
     # per-part extended-weight halo path (the classic U-Net conv0_1 shape
     # class: every s*cin a multiple of 128, equal pass counts)
-    (16, 32, 2, 64, (64, 128)),
+    (16, 32, 2, 64, (64, 128), True),
 ])
-def test_packed_vgg_kernel_matches_xla(rng, h, w, s, cout, cins):
+def test_packed_vgg_kernel_matches_xla(rng, h, w, s, cout, cins, per_part):
     """Fused packed conv+affine+ReLU kernel (interpret) vs the part-wise
-    packed_conv path, with and without the pre-affine add term."""
+    packed_conv path, with and without the pre-affine add term.  ``per_part``
+    states explicitly which halo form each case must take (an explicit
+    expectation, not derived from the case's shape — ADVICE r3)."""
     from maunet_tpu.ops.packed_conv import pack, pack_weights, packed_conv
     from maunet_tpu.ops.pallas.packed_vgg import (_per_part_halo,
                                                   packed_conv3x3_fused,
                                                   supported)
 
     b = 2
-    assert _per_part_halo(cins, s) == (len(cins) == 2)
+    assert _per_part_halo(cins, s) == per_part
     xs = [jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
           for c in cins]
     ks = [jnp.asarray(rng.normal(size=(3, 3, c, cout)) * 0.1, jnp.float32)

@@ -76,9 +76,17 @@ def test_science_loop_smoke(tmp_path):
     assert os.path.exists(f"{work}/summary.json")
     report = open(f"{work}/REPORT.md").read()
     assert "LST MAE" in report and "noemb" in report
+    assert "Temporal sweep" in report
     sens = summary["sensitivity"]
     for key in ("emb_lat_response", "noemb_lat_response", "gt_lat_response"):
         assert np.isfinite(sens[key]["slope_per_degree"])
+    # temporal sweep (round 4): artifacts + finite slopes for both the
+    # tempemb model and the temporal-blind noemb control
+    assert len(glob.glob(
+        f"{work}/sensitivity/sensitivity_data_temporal_*.json")) == 2
+    for key in ("tempemb_temporal_response", "noemb_temporal_response"):
+        assert np.isfinite(sens[key]["slope_per_zunit"])
+    assert sens["expected_temporal_slope_c_per_zunit"] > 0
     # 2 epochs on 16 tiles is not enough to assert model quality here; the
     # full-scale planted-signal assertions run on the chip (docs/SCIENCE.md).
     ttests = pd.read_csv(f"{work}/comparative_ttests.csv")
