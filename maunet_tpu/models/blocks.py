@@ -46,19 +46,11 @@ from maunet_tpu.ops.packed_conv import (Packed, pack, pack_factor,
 Parts = Union[jnp.ndarray, Sequence[jnp.ndarray]]
 
 
-def _fused_conv_epilogue(jobs, is_bcast, s: int, hw, features: int,
-                         bias: jnp.ndarray, epilogue, cd) -> Packed | None:
-    """Run the (virtual-concat conv → BN affine → ReLU) sequence as ONE
-    Pallas kernel (ops/pallas/packed_vgg) with canonical layouts pinned on
-    both sides.  ``jobs`` are (part, kernel-slice) pairs; broadcast parts
-    become the kernel's pre-affine ``add`` term via the closed-form conv.
-    Returns None when the kernel doesn't apply (CPU, unsupported shapes) —
-    caller falls back to the XLA path.
-    """
-    from maunet_tpu.ops.pallas import packed_vgg as pvgg
-
-    if not (jax.default_backend() == "tpu" or pvgg.INTERPRET):
-        return None
+def _build_packed_jobs(jobs, is_bcast, s: int, hw, features: int, cd):
+    """Lower (part, kernel-slice) jobs into the fused kernels' argument
+    form: lane-packed part tensors + packed-weight tensors + the compact
+    closed-form ``add`` term from broadcast parts.  Returns None when a
+    spatial part can't pack (odd width)."""
     spatial = [(p, w) for p, w in jobs if not is_bcast(p)]
     if not spatial:
         return None
@@ -84,22 +76,46 @@ def _fused_conv_epilogue(jobs, is_bcast, s: int, hw, features: int,
         wps.append(pack_weights(w, s)
                    .reshape(3, (s + 2) * cin, s * features).astype(cd))
         cins.append(cin)
-    if not pvgg.supported([q.shape for q in parts_x], tuple(cins),
-                          s, features):
-        return None
     add = None
     for p, w in jobs:
         if is_bcast(p):
             e = _const_conv(p, w, *hw, out_pack=s, compact_h=True)
             add = e if add is None else add + e
+    return (tuple(parts_x), tuple(wps), tuple(cins),
+            None if add is None else add.astype(cd))
+
+
+def _fold_bias(epilogue, bias: jnp.ndarray, s: int):
+    """BN affine + conv bias → the kernels' tiled (scale, bias) epilogue."""
     a, bvec = epilogue
     a = a.astype(jnp.float32)
-    b_eff = bvec.astype(jnp.float32) + bias * a   # fold the conv bias
+    b_eff = bvec.astype(jnp.float32) + bias * a
+    return jnp.tile(a, s), jnp.tile(b_eff, s)
+
+
+def _fused_conv_epilogue(jobs, is_bcast, s: int, hw, features: int,
+                         bias: jnp.ndarray, epilogue, cd) -> Packed | None:
+    """Run the (virtual-concat conv → BN affine → ReLU) sequence as ONE
+    Pallas kernel (ops/pallas/packed_vgg) with canonical layouts pinned on
+    both sides.  ``jobs`` are (part, kernel-slice) pairs; broadcast parts
+    become the kernel's pre-affine ``add`` term via the closed-form conv.
+    Returns None when the kernel doesn't apply (CPU, unsupported shapes) —
+    caller falls back to the XLA path.
+    """
+    from maunet_tpu.ops.pallas import packed_vgg as pvgg
+
+    if not (jax.default_backend() == "tpu" or pvgg.INTERPRET):
+        return None
+    built = _build_packed_jobs(jobs, is_bcast, s, hw, features, cd)
+    if built is None:
+        return None
+    parts_x, wps, cins, add = built
+    if not pvgg.supported([q.shape for q in parts_x], cins, s, features):
+        return None
     out = pvgg.packed_conv3x3_fused(
-        tuple(parts_x), tuple(wps), tuple(cins), s, features,
-        (jnp.tile(a, s), jnp.tile(b_eff, s)),
-        add=None if add is None else add.astype(cd),
-        relu=True, interpret=pvgg.INTERPRET)
+        parts_x, wps, cins, s, features,
+        _fold_bias(epilogue, bias, s),
+        add=add, relu=True, interpret=pvgg.INTERPRET)
     return Packed(out, features)
 
 
@@ -417,6 +433,10 @@ class VGGBlock(nn.Module):
     # unpack/repack layout copies between chained blocks.  Inference-only
     # (training BN needs per-true-channel batch stats).
     packed_io: bool = False
+    # Fuse BOTH convs of the block into one Pallas kernel where supported
+    # (packed_io only): the mid activation stays in VMEM, saving its HBM
+    # write+read per block (ops/pallas/packed_vgg.packed_pair_fused).
+    fuse_pair: bool = True
 
     @nn.compact
     def __call__(self, x: Parts, train: bool = False):
@@ -465,27 +485,121 @@ class VGGBlock(nn.Module):
         """Each (conv → BN → ReLU) runs as one fused epilogue: the BN's
         folded affine (or identity, when BN is already folded into the conv
         weights) rides the conv kernel's f32 accumulator — no separate
-        normalization op, no layout freedom between conv and activation."""
+        normalization op, no layout freedom between conv and activation.
+        When the whole block qualifies (fuse_pair), BOTH convs run as ONE
+        Pallas kernel with the mid activation resident in VMEM
+        (ops/pallas/packed_vgg.packed_pair_fused) — no HBM round trip
+        between conv1 and conv2."""
         cd = self.compute_dtype
-        conv1 = SplitConv(self.middle_channels, compute_dtype=cd,
+        mid, out = self.middle_channels, self.out_channels
+
+        def hw_of(p):
+            if isinstance(p, Packed):
+                return (p.x.shape[1], p.x.shape[2] * p.s)
+            return p.shape[1:3]
+
+        hw = next((hw_of(p) for p in parts if hw_of(p) != (1, 1)),
+                  hw_of(parts[0]))
+
+        def is_bcast(p):
+            return (not isinstance(p, Packed) and p.shape[1:3] == (1, 1)
+                    and hw != (1, 1))
+
+        width = hw[1]
+        s1 = pack_factor(mid, width, min_s=self.pack_min_s)
+        s2 = pack_factor(out, width, min_s=self.pack_min_s)
+        ident = lambda n: (jnp.ones((n,), jnp.float32),
+                           jnp.zeros((n,), jnp.float32))
+
+        if (self.fuse_pair and s1 == s2 and s1 > 1
+                and self._pair_eligible(parts, is_bcast, s1)):
+            from maunet_tpu.ops.pallas import packed_vgg as pvgg
+
+            total_in = sum(p.cin if isinstance(p, Packed) else p.shape[-1]
+                           for p in parts)
+            k1, b1c = _ConvParams(total_in, mid, name="conv1")()
+            k2, b2c = _ConvParams(mid, out, name="conv2")()
+            if self.bn_fused:
+                aff1, aff2 = ident(mid), ident(out)
+            else:
+                aff1 = BatchNormPacked(mid, s1, name="bn1").affine()
+                aff2 = BatchNormPacked(out, s2, name="bn2").affine()
+            jobs, off = [], 0
+            for p in parts:
+                c = p.cin if isinstance(p, Packed) else p.shape[-1]
+                jobs.append((p, jax.lax.slice_in_dim(k1, off, off + c,
+                                                     axis=2)))
+                off += c
+            parts_x, wps, cins, add = _build_packed_jobs(
+                jobs, is_bcast, s1, hw, mid, cd)
+            wp2 = (pack_weights(k2, s1)
+                   .reshape(3, (s1 + 2) * mid, s1 * out).astype(cd))
+            y = pvgg.packed_pair_fused(
+                parts_x, wps, cins, s1, mid, wp2, out,
+                _fold_bias(aff1, b1c, s1), _fold_bias(aff2, b2c, s1),
+                add=add, interpret=pvgg.INTERPRET)
+            return Packed(y, out)
+
+        conv1 = SplitConv(mid, compute_dtype=cd,
                           group_spatial=False, pack=True, out_packed=True,
                           pack_min_s=self.pack_min_s, name="conv1")
-        conv2 = PackedConv3x3(self.out_channels, compute_dtype=cd,
+        conv2 = PackedConv3x3(out, compute_dtype=cd,
                               out_packed=True, pack_min_s=self.pack_min_s,
                               name="conv2")
         if self.bn_fused:
-            ident = lambda n: (jnp.ones((n,), jnp.float32),
-                               jnp.zeros((n,), jnp.float32))
-            y = conv1(parts, epilogue=ident(self.middle_channels))
-            return conv2(y, epilogue=ident(self.out_channels))
-        width = max(p.x.shape[2] * p.s if isinstance(p, Packed)
-                    else p.shape[2] for p in parts)
-        s1 = pack_factor(self.middle_channels, width, min_s=self.pack_min_s)
-        s2 = pack_factor(self.out_channels, width, min_s=self.pack_min_s)
-        bn1 = BatchNormPacked(self.middle_channels, s1, name="bn1")
-        bn2 = BatchNormPacked(self.out_channels, s2, name="bn2")
+            y = conv1(parts, epilogue=ident(mid))
+            return conv2(y, epilogue=ident(out))
+        bn1 = BatchNormPacked(mid, s1, name="bn1")
+        bn2 = BatchNormPacked(out, s2, name="bn2")
         y = conv1(parts, epilogue=bn1.affine())
         return conv2(y, epilogue=bn2.affine())
+
+    def _pair_eligible(self, parts, is_bcast, s: int) -> bool:
+        """Static (shape-only) eligibility for the whole-block fused kernel
+        — decided before any params are created so exactly one param-owning
+        path runs per block."""
+        from maunet_tpu.ops.pallas import packed_vgg as pvgg
+
+        if not (jax.default_backend() == "tpu" or pvgg.INTERPRET):
+            return False
+        shapes, cins = [], []
+        for p in parts:
+            if is_bcast(p):
+                continue
+            if isinstance(p, Packed):
+                shapes.append(p.x.shape)
+                cins.append(p.cin)
+            else:
+                b, h, w, c = p.shape
+                if w % s:
+                    return False
+                c += (-c) % 8
+                shapes.append((b, h, w // s, s * c))
+                cins.append(c)
+        if not shapes:
+            return False
+        return pvgg.pair_supported(shapes, tuple(cins), s,
+                                   self.middle_channels, self.out_channels)
+
+
+class _ConvParams(nn.Module):
+    """Bare parameter holder with ``nn.Conv``'s exact pytree ({kernel,
+    bias}, same shapes/initializers) — lets the whole-block fused path
+    (packed_pair_fused) own both convs' weights without instantiating the
+    conv modules, while staying checkpoint-interchangeable with
+    SplitConv/PackedConv3x3 call sites of the same name."""
+
+    in_channels: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_channels, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias
 
 
 class PackedConv1x1(nn.Module):

@@ -92,6 +92,96 @@ def _per_part_halo(cins, s: int) -> bool:
     return per_part <= combined
 
 
+def _conv_from_xh(xhs, wm_refs, wh_refs, per_part_halo, n_out: int, g: int,
+                  s: int, cout: int, cins):
+    """Shared conv body: 3-tap main dots + column-halo dots + accumulator
+    rolls over pre-built halo-extended row windows.
+
+    ``xhs[p]``: (n_out + 2, G, s*cin_p) — the part's rows with one halo row
+    each side (zeroed at image edges by the caller).  Returns the f32
+    (n_out, G, s*cout) conv accumulation, halo contributions applied.
+    """
+    n_parts = len(cins)
+    acc = None
+    for p in range(n_parts):
+        xh, wm = xhs[p], wm_refs[p]
+        for dy in range(3):
+            m = jax.lax.dot_general(
+                xh[dy:dy + n_out].reshape(n_out * xh.shape[1], -1),
+                wm[dy], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = m if acc is None else acc + m
+    sh = (n_out, g, s * cout)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    # Both halo sides ride ONE dot per dy against a combined matrix — the
+    # sides touch disjoint output lanes (left -> [:cout], right ->
+    # [(s-1)*cout:], a pack_weights invariant), so their contributions
+    # separate by lane masks after the dot.  The contributions computed at
+    # group g belong to its neighbours, so the f32 result is rolled one
+    # group each way under those masks.
+    if per_part_halo:
+        # Per-part extended-weight halo: each part's wl/wr scatter into a
+        # (s*cin, s*cout) matrix at the rows of that part's edge
+        # sub-columns, dotted against its xh IN PLACE (no lane-slice /
+        # concat builds); gated on needing no more MXU passes than the
+        # combined dot (_per_part_halo).
+        acch = None
+        for p in range(n_parts):
+            for dy in range(3):
+                hh = jax.lax.dot_general(
+                    xhs[p][dy:dy + n_out].reshape(n_out * xhs[p].shape[1], -1),
+                    wh_refs[p][dy], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acch = hh if acch is None else acch + hh
+    else:
+        # Multi part: lane-concat every part's LAST sub-column, then every
+        # part's FIRST — one K=2*sum(cin) dot replaces two per-side
+        # K=sum(cin) dots.
+        xlr = jnp.concatenate(
+            [xh[:, :, (s - 1) * c:s * c] for xh, c in zip(xhs, cins)]
+            + [xh[:, :, :c] for xh, c in zip(xhs, cins)], axis=-1)
+        acch = None
+        for dy in range(3):
+            hh = jax.lax.dot_general(
+                xlr[dy:dy + n_out].reshape(n_out * xlr.shape[1], -1),
+                wh_refs[0][dy], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acch = hh if acch is None else acch + hh
+    acch = acch.reshape(sh)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
+    rl = pltpu.roll(acch, 1, 1)        # from group g-1
+    rr = pltpu.roll(acch, g - 1, 1)    # from group g+1
+    return (acc.reshape(sh)
+            + jnp.where((lidx < cout) & (gidx > 0), rl, 0.0)
+            + jnp.where((lidx >= (s - 1) * cout) & (gidx < g - 1), rr, 0.0))
+
+
+def _split_weights(wps, cins, s: int, cout: int):
+    """Split each packed-weight tensor into its main band plus halo
+    matrices (both sides touch disjoint output lanes — a pack_weights
+    invariant — so they share a dot).  Two halo forms, picked by MXU
+    pass count (_per_part_halo): per-part, both sides scatter into a
+    (s*cin, s*cout) matrix dotted against that part's xh directly (no
+    lane-slice builds); otherwise row-stack every part's left slice then
+    every part's right slice into ONE (2*Σcin, s*cout) matrix, dotted
+    against the matching lane-concat of edge sub-columns — ceil(2Σ/128)
+    passes instead of the per-part sum."""
+    wms = [w[:, cin:(s + 1) * cin] for w, cin in zip(wps, cins)]
+    if _per_part_halo(cins, s):
+        whs = []
+        for w, cin in zip(wps, cins):
+            wh = jnp.zeros((3, s * cin, s * cout), w.dtype)
+            wh = wh.at[:, (s - 1) * cin:, :cout].set(w[:, :cin, :cout])
+            wh = wh.at[:, :cin, (s - 1) * cout:].set(
+                w[:, (s + 1) * cin:, (s - 1) * cout:])
+            whs.append(wh)
+    else:
+        whs = [jnp.concatenate(
+            [w[:, :cin] for w, cin in zip(wps, cins)]
+            + [w[:, (s + 1) * cin:] for w, cin in zip(wps, cins)], axis=1)]
+    return wms, whs
+
+
 def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
                  has_affine: bool, has_add: bool, out_dtype):
     n_parts = len(cins)
@@ -120,82 +210,19 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
         # Shifting inputs would need concats of sublane-offset slices, which
         # Mosaic does not lower; shifting the f32 accumulator is one aligned
         # roll, and being linear it happens ONCE after summing all parts.
-        #
-        # The halo dots contract K = cin (32/64) but an MXU pass zero-pads
-        # K to 128, so per-part halo dots cost as much as the K=128 main
-        # dots while doing a fraction of the work (the measured per-node
-        # times match the pad-to-128 pass count exactly — TRACE.md §7).
-        # All parts' halo columns are therefore lane-concatenated and
-        # contracted in ONE dot per side against the row-stacked weight
-        # slices: ceil(Σcin/128) passes instead of n_parts.
-        acc = None
+        # (Body shared with the pair kernel — _conv_from_xh.)
         xhs = []
         for p in range(n_parts):
             top, main, bot = parts[3 * p], parts[3 * p + 1], parts[3 * p + 2]
             x = main[0]                                   # (bh, G, s*cin)
-            cin = cins[p]
             zrow = jnp.zeros_like(top[0, :1])
             above = jnp.where(pid == 0, zrow, top[0, -1:])
             below = jnp.where(pid == last, zrow, bot[0, :1])
-            xh = jnp.concatenate([above, x, below], axis=0)  # (bh+2, G, sc)
-            xhs.append(xh)
-            wm = wm_refs[p]        # (3, s*cin, s*cout)
-            for dy in range(3):
-                m = jax.lax.dot_general(
-                    xh[dy:dy + bh].reshape(bh * xh.shape[1], -1),
-                    wm[dy], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acc = m if acc is None else acc + m
+            xhs.append(jnp.concatenate([above, x, below], axis=0))
         g = out_ref.shape[2]
         sh = (bh, g, s * cout)
-        gidx = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
-        # Both halo sides ride ONE dot per dy against a combined matrix —
-        # the sides touch disjoint output lanes (left -> [:cout], right ->
-        # [(s-1)*cout:], a pack_weights invariant), so their contributions
-        # separate by lane masks after the dot.  The contributions computed
-        # at group g belong to its neighbours, so the f32 result is rolled
-        # one group each way under those masks.
-        if per_part_halo:
-            # Per-part extended-weight halo: each part's wl/wr scatter into
-            # a (s*cin, s*cout) matrix at the rows of that part's edge
-            # sub-columns, dotted against its xh IN PLACE.  No lane-slice /
-            # concat builds (the xlr assembly below copies the whole block
-            # through the VPU); gated on needing no more MXU passes than
-            # the combined dot (_per_part_halo) — measured 574 -> 442 us on
-            # the single-part 64-ch s=2 row, extended here to multi-part
-            # rows like the classic U-Net's conv0_1 (s*cin 128+256).
-            acch = None
-            for p in range(n_parts):
-                for dy in range(3):
-                    hh = jax.lax.dot_general(
-                        xhs[p][dy:dy + bh].reshape(bh * xhs[p].shape[1], -1),
-                        wh_refs[p][dy], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    acch = hh if acch is None else acch + hh
-        else:
-            # Multi part: lane-concat every part's LAST sub-column, then
-            # every part's FIRST — one K=2*sum(cin) dot replaces the two
-            # per-side K=sum(cin) dots (each padded up to an MXU multiple:
-            # ceil(2S/128) <= 2*ceil(S/128) passes, strictly fewer whenever
-            # sum(cin) mod 128 lands in [8, 64]).
-            xlr = jnp.concatenate(
-                [xh[:, :, (s - 1) * c:s * c] for xh, c in zip(xhs, cins)]
-                + [xh[:, :, :c] for xh, c in zip(xhs, cins)], axis=-1)
-            acch = None
-            for dy in range(3):
-                hh = jax.lax.dot_general(
-                    xlr[dy:dy + bh].reshape(bh * xlr.shape[1], -1),
-                    wh_refs[0][dy], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                acch = hh if acch is None else acch + hh
-        acch = acch.reshape(sh)
-        lidx = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
-        rl = pltpu.roll(acch, 1, 1)        # from group g-1
-        rr = pltpu.roll(acch, g - 1, 1)    # from group g+1
-        acc = (acc.reshape(sh)
-               + jnp.where((lidx < cout) & (gidx > 0), rl, 0.0)
-               + jnp.where((lidx >= (s - 1) * cout) & (gidx < g - 1),
-                           rr, 0.0))
+        acc = _conv_from_xh(xhs, wm_refs, wh_refs, per_part_halo, bh, g, s,
+                            cout, cins)
         if has_add:
             # Pre-affine additive term (the decoder's closed-form broadcast
             # embedding contribution): spatially constant except at the
@@ -222,6 +249,176 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
         out_ref[0] = acc.astype(out_dtype)
 
     return kernel
+
+
+def pair_supported(parts_shapes, cins, s: int, cmid: int, cout: int) -> bool:
+    """Whole-VGGBlock fusion (conv1→BN→ReLU→conv2→BN→ReLU in ONE kernel):
+    both convs must individually qualify and a row block must fit with the
+    f32 intermediate resident in VMEM."""
+    if not supported(parts_shapes, cins, s, cmid) or s * cout > 128:
+        return False
+    b, h, g, _ = parts_shapes[0]
+    return _pick_bh_pair(h, g, cins, s, cmid, cout) is not None
+
+
+def _pick_bh_pair(h, g, cins, s, cmid, cout):
+    """Row-block size for the pair kernel: double-buffered input/output
+    blocks (each part carries two 2-row halo blocks) plus the kernel's f32
+    working set — conv1 accumulators + the (bh+2)-row mid activation in f32
+    and bf16 + conv2 accumulators — inside the 14 MB budget."""
+    in_row = sum(g * s * cin * 2 for cin in cins)
+    out_row = g * s * cout * 2
+    mid_row = g * s * cmid
+    for bh in (32, 16, 8):
+        if h % bh:
+            continue
+        blocks = (bh + 4) * in_row + 2 * bh * out_row
+        stack = (6 * (bh + 2) * mid_row * 4   # conv1 acc/temps + f32 mid
+                 + (bh + 2) * mid_row * 2     # bf16 mid
+                 + 6 * bh * g * s * cout * 4)  # conv2 acc/temps
+        if 2 * blocks + stack <= (14 << 20):
+            return bh
+    return None
+
+
+def _make_pair_kernel(bh: int, cins, s: int, cmid: int, cout: int,
+                      has_add: bool, out_dtype):
+    n_parts = len(cins)
+    per_part1 = _per_part_halo(cins, s)
+    n_halo1 = n_parts if per_part1 else 1
+
+    def kernel(*refs):
+        wm1 = refs[:n_parts]
+        wh1 = refs[n_parts:n_parts + n_halo1]
+        k = n_parts + n_halo1
+        wm2, wh2 = refs[k], refs[k + 1]
+        b1_ref, b2_ref = refs[k + 2], refs[k + 3]
+        k += 4
+        add_ref = None
+        if has_add:
+            add_ref = refs[k]
+            k += 1
+        parts = refs[k:k + 3 * n_parts]
+        out_ref = refs[k + 3 * n_parts]
+        pid = pl.program_id(1)
+        last = pl.num_programs(1) - 1
+        g = out_ref.shape[2]
+
+        # conv1 computes bh+2 output rows (global i*bh-1 .. i*bh+bh): the
+        # block's own bh rows plus one overlap row each side so conv2's
+        # 3-tap H window never leaves VMEM.  Inputs extend two rows each
+        # side (2-row halo blocks), zeroed where they fall outside the
+        # image; the 2/bh recompute of overlap rows is the price of never
+        # materializing the VGGBlock's mid activation in HBM.
+        xhs = []
+        for p in range(n_parts):
+            top, main, bot = parts[3 * p], parts[3 * p + 1], parts[3 * p + 2]
+            z2 = jnp.zeros_like(top[0])
+            above = jnp.where(pid == 0, z2, top[0])     # rows i*bh-2, -1
+            below = jnp.where(pid == last, z2, bot[0])  # rows i*bh+bh, +1
+            xhs.append(jnp.concatenate([above, main[0], below], axis=0))
+        mid = _conv_from_xh(xhs, wm1, wh1, per_part1, bh + 2, g, s, cmid,
+                            cins)
+        msh = (bh + 2, g, s * cmid)
+        if has_add:
+            # Compact 3-row embedding add over the mid rows: interior plane
+            # broadcast + 1-row deltas at the image's first/last rows, which
+            # sit at local rows 1 / bh of the overlap window.
+            interior = add_ref[0, 1].astype(jnp.float32)
+            dtop = (add_ref[0, 0].astype(jnp.float32) - interior)[None]
+            dbot = (add_ref[0, 2].astype(jnp.float32) - interior)[None]
+            rid = jax.lax.broadcasted_iota(jnp.int32, msh, 0)
+            mid = (mid + interior[None]
+                   + jnp.where((rid == 1) & (pid == 0), dtop, 0.0)
+                   + jnp.where((rid == bh) & (pid == last), dbot, 0.0))
+        mid = jnp.maximum(mid + b1_ref[0], 0.0)
+        # Overlap rows outside the image are conv2 zero-padding, not data:
+        # zero them post-ReLU (1-row selects, not full-block masks).
+        row0 = jnp.where(pid == 0, jnp.zeros_like(mid[0:1]), mid[0:1])
+        rowN = jnp.where(pid == last, jnp.zeros_like(mid[-1:]), mid[-1:])
+        mid_x = jnp.concatenate([row0, mid[1:-1], rowN],
+                                axis=0).astype(out_dtype)
+
+        acc = _conv_from_xh([mid_x], [wm2], [wh2], True, bh, g, s, cout,
+                            [cmid])
+        acc = jnp.maximum(acc + b2_ref[0], 0.0)
+        out_ref[0] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cins", "s", "cmid", "cout",
+                                             "interpret"))
+def packed_pair_fused(parts: tuple[jnp.ndarray, ...],
+                      wps1: tuple[jnp.ndarray, ...],
+                      cins: tuple[int, ...], s: int, cmid: int,
+                      wp2: jnp.ndarray, cout: int,
+                      affine1: tuple[jnp.ndarray, jnp.ndarray],
+                      affine2: tuple[jnp.ndarray, jnp.ndarray],
+                      add: jnp.ndarray | None = None,
+                      interpret: bool = False) -> jnp.ndarray:
+    """A whole VGGBlock — (virtual-concat conv1 → BN → ReLU → conv2 → BN →
+    ReLU) — as ONE Pallas kernel (round-4 node fusion, VERDICT r3 next #3).
+
+    The mid activation lives only in VMEM: vs two chained
+    ``packed_conv3x3_fused`` calls this removes one full HBM write+read of
+    the (B, H, G, s*cmid) tensor per VGGBlock plus one kernel launch, at the
+    cost of recomputing 2 overlap rows of conv1 per row block.  Arguments
+    mirror the single-conv call; ``affine1``/``affine2`` are the two BN
+    folded (scale, bias) vectors tiled to s*cmid / s*cout; ``add`` is
+    conv1's compact 3-row broadcast-embedding term.
+    """
+    b, h, g, _ = parts[0].shape
+    bh = _pick_bh_pair(h, g, cins, s, cmid, cout)
+    assert bh is not None, (parts[0].shape, cins, s, cmid, cout)
+    dtype = parts[0].dtype
+
+    a1, b1 = affine1
+    a2, b2 = affine2
+    wps1 = [w * a1.astype(w.dtype)[None, None, :] for w in wps1]
+    if add is not None:
+        add = add * a1.astype(add.dtype)[None, None, None, :]
+    wp2 = wp2 * a2.astype(wp2.dtype)[None, None, :]
+    wms1, whs1 = _split_weights(wps1, cins, s, cmid)
+    wms2, whs2 = _split_weights([wp2], [cmid], s, cout)
+    weights = [*wms1, *whs1, wms2[0], whs2[0]]
+    w_specs = [pl.BlockSpec(w.shape, lambda bi, i: (0, 0, 0))
+               for w in weights]
+    bias_args = [b1.reshape(1, -1).astype(jnp.float32),
+                 b2.reshape(1, -1).astype(jnp.float32)]
+    bias_specs = [pl.BlockSpec((1, s * cmid), lambda bi, i: (0, 0)),
+                  pl.BlockSpec((1, s * cout), lambda bi, i: (0, 0))]
+    add_specs, add_args = [], []
+    if add is not None:
+        assert add.shape == (b, 3, g, s * cmid), (add.shape, parts[0].shape)
+        add_specs = [pl.BlockSpec((1, 3, g, s * cmid),
+                                  lambda bi, i: (bi, 0, 0, 0))]
+        add_args = [add]
+    part_specs, part_args = [], []
+    hb = bh // 2  # 2-row halo blocks, index maps in 2-row units
+    for p in parts:
+        sc = p.shape[-1]
+        part_specs += [
+            pl.BlockSpec((1, 2, g, sc),
+                         lambda bi, i: (bi, jnp.maximum(i * hb - 1, 0),
+                                        0, 0)),
+            pl.BlockSpec((1, bh, g, sc), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 2, g, sc),
+                         lambda bi, i: (bi, jnp.minimum(i * hb + hb,
+                                                        h // 2 - 1), 0, 0)),
+        ]
+        part_args += [p, p, p]
+
+    out = pl.pallas_call(
+        _make_pair_kernel(bh, cins, s, cmid, cout, add is not None, dtype),
+        grid=(b, h // bh),
+        in_specs=w_specs + bias_specs + add_specs + part_specs,
+        out_specs=pl.BlockSpec((1, bh, g, s * cout),
+                               lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, g, s * cout), dtype),
+        interpret=interpret,
+    )(*weights, *bias_args, *add_args, *part_args)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cins", "s", "cout", "relu",
@@ -260,28 +457,7 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
         wps = [w * a.astype(w.dtype)[None, None, :] for w in wps]
         if add is not None:
             add = add * a.astype(add.dtype)[None, None, None, :]
-    # Split each packed-weight tensor into its main band plus halo
-    # matrices (both sides touch disjoint output lanes — a pack_weights
-    # invariant — so they share a dot).  Two halo forms, picked by MXU
-    # pass count (_per_part_halo): per-part, both sides scatter into a
-    # (s*cin, s*cout) matrix dotted against that part's xh directly (no
-    # lane-slice builds); otherwise row-stack every part's left slice then
-    # every part's right slice into ONE (2*Σcin, s*cout) matrix, dotted
-    # against the matching lane-concat of edge sub-columns — ceil(2Σ/128)
-    # passes instead of the per-part sum.
-    wms = [w[:, cin:(s + 1) * cin] for w, cin in zip(wps, cins)]
-    if _per_part_halo(cins, s):
-        whs = []
-        for w, cin in zip(wps, cins):
-            wh = jnp.zeros((3, s * cin, s * cout), w.dtype)
-            wh = wh.at[:, (s - 1) * cin:, :cout].set(w[:, :cin, :cout])
-            wh = wh.at[:, :cin, (s - 1) * cout:].set(
-                w[:, (s + 1) * cin:, (s - 1) * cout:])
-            whs.append(wh)
-    else:
-        whs = [jnp.concatenate(
-            [w[:, :cin] for w, cin in zip(wps, cins)]
-            + [w[:, (s + 1) * cin:] for w, cin in zip(wps, cins)], axis=1)]
+    wms, whs = _split_weights(wps, cins, s, cout)
     wps = [*wms, *whs]
     wp_specs = [pl.BlockSpec(w.shape, lambda bi, i: (0, 0, 0)) for w in wps]
     affine_specs, affine_args = [], []

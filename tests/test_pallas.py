@@ -384,3 +384,50 @@ def test_packed_s2_rows_match_unpacked(rng, model_type, min_s):
         pvgg.INTERPRET = False
     np.testing.assert_allclose(np.asarray(fused), np.asarray(base),
                                atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("h,w,s,cmid,cins,add_term", [
+    # U-Net++ level-0 node class: two 32-ch parts + embedding add, s=4
+    (16, 32, 4, 32, (32, 32), True),
+    # classic U-Net level-0 conv0_0 class: one part, s=2, no add
+    (16, 32, 2, 64, (64,), False),
+])
+def test_packed_pair_kernel_matches_chained(rng, h, w, s, cmid, cins,
+                                            add_term):
+    """Whole-VGGBlock fused kernel (conv1+BN+ReLU+conv2+BN+ReLU in one
+    pallas_call, mid resident in VMEM) vs the two chained single-conv
+    kernels — same math, one HBM round trip less."""
+    from maunet_tpu.ops.packed_conv import pack, pack_weights
+    from maunet_tpu.ops.pallas.packed_vgg import (packed_conv3x3_fused,
+                                                  packed_pair_fused,
+                                                  pair_supported)
+
+    b, cout = 2, cmid
+    xs = [jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+          for c in cins]
+    k1s = [jnp.asarray(rng.normal(size=(3, 3, c, cmid)) * 0.1, jnp.float32)
+           for c in cins]
+    k2 = jnp.asarray(rng.normal(size=(3, 3, cmid, cout)) * 0.1, jnp.float32)
+    a1 = jnp.asarray(rng.normal(size=(cmid,)) * 0.3 + 1.0, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(cmid,)), jnp.float32)
+    a2 = jnp.asarray(rng.normal(size=(cout,)) * 0.3 + 1.0, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(cout,)), jnp.float32)
+    add = (jnp.asarray(rng.normal(size=(b, 3, w // s, s * cmid)), jnp.float32)
+           if add_term else None)
+
+    parts = tuple(pack(x, s).x for x in xs)
+    wps1 = tuple(pack_weights(k, s).reshape(3, (s + 2) * c, s * cmid)
+                 for k, c in zip(k1s, cins))
+    wp2 = pack_weights(k2, s).reshape(3, (s + 2) * cmid, s * cout)
+    assert pair_supported([p.shape for p in parts], cins, s, cmid, cout)
+
+    aff1 = (jnp.tile(a1, s), jnp.tile(b1, s))
+    aff2 = (jnp.tile(a2, s), jnp.tile(b2, s))
+    y1 = packed_conv3x3_fused(parts, wps1, cins, s, cmid, aff1, add=add,
+                              relu=True, interpret=True)
+    y2 = packed_conv3x3_fused((y1,), (wp2,), (cmid,), s, cout, aff2,
+                              relu=True, interpret=True)
+    got = packed_pair_fused(parts, wps1, cins, s, cmid, wp2, cout,
+                            aff1, aff2, add=add, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(y2),
+                               atol=3e-5, rtol=1e-5)
