@@ -436,7 +436,13 @@ class VGGBlock(nn.Module):
     # Fuse BOTH convs of the block into one Pallas kernel where supported
     # (packed_io only): the mid activation stays in VMEM, saving its HBM
     # write+read per block (ops/pallas/packed_vgg.packed_pair_fused).
-    fuse_pair: bool = True
+    # Default OFF — measured regression on v5e (256²/B8: U-Net++ 987 vs
+    # 1040 tiles/s, U-Net 945 vs 959, best-of pair config): the chained
+    # single-conv kernels are compute-bound with the mid tensor's HBM
+    # round-trip fully hidden by grid pipelining, so the fusion saves no
+    # wall-clock while its 2-row conv1 overlap recompute adds ~5%.  Kept
+    # as a tested mode for bandwidth-starved parts (docs/TRACE.md §10).
+    fuse_pair: bool = False
 
     @nn.compact
     def __call__(self, x: Parts, train: bool = False):

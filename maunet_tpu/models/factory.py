@@ -36,6 +36,7 @@ def UrbanPredictor(
     remat: bool = False,
     pack_lanes: bool | None = None,
     pack_min_s: int | None = None,
+    fuse_pair: bool = False,
 ) -> nn.Module:
     """Facade dispatch (reference src/model.py:295-326).
 
@@ -69,6 +70,7 @@ def UrbanPredictor(
             remat=remat,
             pack_lanes=pack_lanes,
             pack_min_s=pack_min_s,
+            fuse_pair=fuse_pair,
         )
     if model_type == "unet++":
         return MetaUNetPP(
@@ -86,6 +88,7 @@ def UrbanPredictor(
             remat=remat,
             pack_lanes=pack_lanes,
             pack_min_s=pack_min_s,
+            fuse_pair=fuse_pair,
         )
     raise ValueError(f"Unsupported model_type: {model_type!r} (expected one of {MODEL_TYPES})")
 

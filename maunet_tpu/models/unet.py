@@ -46,6 +46,9 @@ class MetaUNet(nn.Module):
     # packed-resident through the fused Pallas kernel at inference (s=2,
     # full 128-lane fill); levels >=1 have >=128 channels and never pack.
     pack_min_s: int = 4
+    # Whole-VGGBlock pair fusion for packed-resident blocks — see
+    # blocks.VGGBlock.fuse_pair (default off: measured v5e regression).
+    fuse_pair: bool = False
 
     @nn.compact
     def __call__(
@@ -79,7 +82,7 @@ class MetaUNet(nn.Module):
         vgg0 = lambda name, mid, out: block_cls(
             mid, out, compute_dtype=cd, bn_fused=self.bn_fused,
             pack=self.pack_lanes, pack_min_s=min_s,
-            packed_io=s0 > 1, name=name)
+            packed_io=s0 > 1, fuse_pair=self.fuse_pair, name=name)
 
         maps = maps.astype(cd)
 

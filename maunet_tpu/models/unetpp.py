@@ -51,6 +51,9 @@ class MetaUNetPP(nn.Module):
     # profitable where that kernel fires (TPU inference), so the default
     # stays 4 and the factory/benchmarks opt levels in per-backend.
     pack_min_s: int = 4
+    # Whole-VGGBlock pair fusion for packed-resident blocks — see
+    # blocks.VGGBlock.fuse_pair (default off: measured v5e regression).
+    fuse_pair: bool = False
 
     @nn.compact
     def __call__(
@@ -89,7 +92,7 @@ class MetaUNetPP(nn.Module):
         vgg = lambda name, mid, out, lvl: block_cls(
             mid, out, compute_dtype=cd, bn_fused=self.bn_fused,
             group_spatial=True, pack=self.pack_lanes, pack_min_s=min_s,
-            packed_io=s_lvl[lvl] > 1, name=name)
+            packed_io=s_lvl[lvl] > 1, fuse_pair=self.fuse_pair, name=name)
 
         maps = maps.astype(cd)
 

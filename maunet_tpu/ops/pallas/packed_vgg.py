@@ -273,9 +273,13 @@ def _pick_bh_pair(h, g, cins, s, cmid, cout):
         if h % bh:
             continue
         blocks = (bh + 4) * in_row + 2 * bh * out_row
-        stack = (6 * (bh + 2) * mid_row * 4   # conv1 acc/temps + f32 mid
+        # The 4× accumulator multiplier is calibrated on-chip: bh=32 compiles
+        # and runs for every VGGBlock shape of both model families at 256²
+        # (a 6× estimate rejected bh=32, forcing bh=16 and a 12.5% conv1
+        # overlap recompute; Mosaic's real allocation fits at 32).
+        stack = (4 * (bh + 2) * mid_row * 4   # conv1 acc/temps + f32 mid
                  + (bh + 2) * mid_row * 2     # bf16 mid
-                 + 6 * bh * g * s * cout * 4)  # conv2 acc/temps
+                 + 4 * bh * g * s * cout * 4)  # conv2 acc/temps
         if 2 * blocks + stack <= (14 << 20):
             return bh
     return None

@@ -386,6 +386,40 @@ def test_packed_s2_rows_match_unpacked(rng, model_type, min_s):
                                atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("model_type", ["unet", "unet++"])
+def test_fuse_pair_model_matches_default(rng, model_type):
+    """fuse_pair=True (whole-VGGBlock pair kernel) is a pure execution-
+    strategy flag: same params, same outputs as the default chained-kernel
+    path and the unpacked model.  The mode is default-OFF (measured v5e
+    regression, blocks.VGGBlock.fuse_pair) but stays correct."""
+    import maunet_tpu.ops.pallas.packed_vgg as pvgg
+    from maunet_tpu.models.factory import UrbanPredictor
+
+    args = (jnp.asarray(rng.normal(size=(2, 32, 32, 23)), jnp.float32),
+            jnp.asarray(rng.normal(size=(2, 48)), jnp.float32),
+            jnp.asarray(rng.normal(size=(2, 8)), jnp.float32),
+            jnp.full((2,), 48, jnp.int32))
+    kw = dict(base_filters=64 if model_type == "unet" else 32,
+              temporal_dim=8, meta_dim=8, lstm_dim=8,
+              compute_dtype=jnp.float32, pack_lanes=True, pack_min_s=2)
+    m0 = UrbanPredictor(model_type, **kw)
+    v = m0.init(jax.random.PRNGKey(0), *args)
+    v = jax.tree_util.tree_map_with_path(
+        lambda p, x: x + jnp.asarray(
+            np.abs(rng.normal(size=x.shape)) * 0.3, x.dtype)
+        if any(getattr(k, "key", None) == "batch_stats" for k in p) else x, v)
+    m1 = UrbanPredictor(model_type, fuse_pair=True, **kw)
+    assert not pvgg.INTERPRET
+    pvgg.INTERPRET = True
+    try:
+        base = m0.apply(v, *args)
+        paired = m1.apply(v, *args)
+    finally:
+        pvgg.INTERPRET = False
+    np.testing.assert_allclose(np.asarray(paired), np.asarray(base),
+                               atol=5e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("h,w,s,cmid,cins,add_term", [
     # U-Net++ level-0 node class: two 32-ch parts + embedding add, s=4
     (16, 32, 4, 32, (32, 32), True),
