@@ -200,6 +200,10 @@ class SplitConv(nn.Module):
     # Return the lane-packed form (only meaningful when packing fires):
     # packed-resident decoder rows chain node->node without layout copies.
     out_packed: bool = False
+    # Train-mode lane-packed Pallas forward with XLA backward
+    # (ops/train_conv.py) — set by VGGBlock when train=True; gated per
+    # call site by train_conv.supported (narrow channels, TPU, even W).
+    train_fused: bool = False
 
     @nn.compact
     def __call__(self, parts: Sequence[jnp.ndarray], epilogue=None,
@@ -266,6 +270,17 @@ class SplitConv(nn.Module):
             if y is not None:
                 return y
 
+        if self.train_fused and pack_s == 1 and not self.out_packed \
+                and epilogue is None:
+            from maunet_tpu.ops.pallas import packed_vgg as pvgg
+            from maunet_tpu.ops.train_conv import splitconv_train_fused
+            y = splitconv_train_fused(jobs, is_bcast, hw, self.features, cd,
+                                      interpret=pvgg.INTERPRET)
+            if y is not None:
+                if not bias_grad:
+                    bias = jax.lax.stop_gradient(bias)
+                return y + bias.astype(y.dtype)
+
         out = None
         for p, w in jobs:
             if is_bcast(p):
@@ -318,6 +333,7 @@ class PackedConv3x3(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
     pack_min_s: int = 4  # see SplitConv.pack_min_s
     out_packed: bool = False
+    train_fused: bool = False  # see SplitConv.train_fused
 
     @nn.compact
     def __call__(self, x: jnp.ndarray | Packed, epilogue=None,
@@ -354,6 +370,16 @@ class PackedConv3x3(nn.Module):
             x = Packed(x.x.astype(cd), x.cin)
         else:
             x = x.astype(cd)
+        if self.train_fused and s == 1 and not self.out_packed \
+                and not isinstance(x, Packed):
+            from maunet_tpu.ops.pallas import packed_vgg as pvgg
+            from maunet_tpu.ops.train_conv import train_conv3x3
+            y = train_conv3x3([x], [kernel], self.features,
+                              interpret=pvgg.INTERPRET)
+            if y is not None:
+                if not bias_grad:
+                    bias = jax.lax.stop_gradient(bias)
+                return y + bias.astype(y.dtype)
         y = packed_conv(x, kernel.astype(cd), s, out_packed=self.out_packed)
         if not bias_grad:  # see SplitConv: zero through train-mode BN
             bias = jax.lax.stop_gradient(bias)
@@ -443,6 +469,11 @@ class VGGBlock(nn.Module):
     # wall-clock while its 2-row conv1 overlap recompute adds ~5%.  Kept
     # as a tested mode for bandwidth-starved parts (docs/TRACE.md §10).
     fuse_pair: bool = False
+    # Train-mode lane-packed Pallas forward for the narrow convs
+    # (ops/train_conv.py): s× MXU lane fill on the forward, XLA's own conv
+    # VJP kernels on the backward.  Applied only when train=True; gated
+    # per conv by train_conv.supported.
+    train_fused: bool = False
 
     @nn.compact
     def __call__(self, x: Parts, train: bool = False):
@@ -456,14 +487,17 @@ class VGGBlock(nn.Module):
             "Packed parts require packed_io"
         conv1 = SplitConv(self.middle_channels, compute_dtype=self.compute_dtype,
                           group_spatial=self.group_spatial, pack=self.pack,
-                          pack_min_s=self.pack_min_s, name="conv1")
+                          pack_min_s=self.pack_min_s,
+                          train_fused=self.train_fused and train,
+                          name="conv1")
         # PackedConv3x3 is the nn.Conv drop-in (identical params/initializers/
         # arithmetic; falls through to a plain conv at s=1, and pack_min_s=999
         # pins s=1 when packing is off) — used for both modes so the train
         # path can pass bias_grad=False.
         conv2 = PackedConv3x3(
             self.out_channels, compute_dtype=self.compute_dtype,
-            pack_min_s=self.pack_min_s if self.pack else 999, name="conv2")
+            pack_min_s=self.pack_min_s if self.pack else 999,
+            train_fused=self.train_fused and train, name="conv2")
         if self.bn_fused:
             assert not train, "bn_fused is an inference-only mode"
             x = nn.relu(conv1(parts)).astype(self.compute_dtype)

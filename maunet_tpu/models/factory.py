@@ -37,6 +37,7 @@ def UrbanPredictor(
     pack_lanes: bool | None = None,
     pack_min_s: int | None = None,
     fuse_pair: bool = False,
+    train_fused_conv: bool = False,
 ) -> nn.Module:
     """Facade dispatch (reference src/model.py:295-326).
 
@@ -71,6 +72,7 @@ def UrbanPredictor(
             pack_lanes=pack_lanes,
             pack_min_s=pack_min_s,
             fuse_pair=fuse_pair,
+            train_fused_conv=train_fused_conv,
         )
     if model_type == "unet++":
         return MetaUNetPP(
@@ -89,6 +91,7 @@ def UrbanPredictor(
             pack_lanes=pack_lanes,
             pack_min_s=pack_min_s,
             fuse_pair=fuse_pair,
+            train_fused_conv=train_fused_conv,
         )
     raise ValueError(f"Unsupported model_type: {model_type!r} (expected one of {MODEL_TYPES})")
 

@@ -49,6 +49,9 @@ class MetaUNet(nn.Module):
     # Whole-VGGBlock pair fusion for packed-resident blocks — see
     # blocks.VGGBlock.fuse_pair (default off: measured v5e regression).
     fuse_pair: bool = False
+    # Train-mode lane-packed Pallas forward for narrow convs — see
+    # blocks.VGGBlock.train_fused (applies to the 64-channel level-0 row).
+    train_fused_conv: bool = False
 
     @nn.compact
     def __call__(
@@ -72,7 +75,9 @@ class MetaUNet(nn.Module):
         vgg = lambda name, mid, out: block_cls(mid, out, compute_dtype=cd,
                                                bn_fused=self.bn_fused,
                                                pack=self.pack_lanes,
-                                               pack_min_s=min_s, name=name)
+                                               pack_min_s=min_s,
+                                               train_fused=self.train_fused_conv,
+                                               name=name)
         # Packed-resident level-0 row (inference): the two 64-channel blocks
         # and the head stay in the lane-packed (B, H, W/2, 2*64) form —
         # convs run the fused Pallas kernel (ops/pallas/packed_vgg) at full
@@ -82,7 +87,8 @@ class MetaUNet(nn.Module):
         vgg0 = lambda name, mid, out: block_cls(
             mid, out, compute_dtype=cd, bn_fused=self.bn_fused,
             pack=self.pack_lanes, pack_min_s=min_s,
-            packed_io=s0 > 1, fuse_pair=self.fuse_pair, name=name)
+            packed_io=s0 > 1, fuse_pair=self.fuse_pair,
+            train_fused=self.train_fused_conv, name=name)
 
         maps = maps.astype(cd)
 

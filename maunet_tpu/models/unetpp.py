@@ -54,6 +54,9 @@ class MetaUNetPP(nn.Module):
     # Whole-VGGBlock pair fusion for packed-resident blocks — see
     # blocks.VGGBlock.fuse_pair (default off: measured v5e regression).
     fuse_pair: bool = False
+    # Train-mode lane-packed Pallas forward for narrow convs — see
+    # blocks.VGGBlock.train_fused (applies to the 32/64-channel rows).
+    train_fused_conv: bool = False
 
     @nn.compact
     def __call__(
@@ -92,7 +95,8 @@ class MetaUNetPP(nn.Module):
         vgg = lambda name, mid, out, lvl: block_cls(
             mid, out, compute_dtype=cd, bn_fused=self.bn_fused,
             group_spatial=True, pack=self.pack_lanes, pack_min_s=min_s,
-            packed_io=s_lvl[lvl] > 1, fuse_pair=self.fuse_pair, name=name)
+            packed_io=s_lvl[lvl] > 1, fuse_pair=self.fuse_pair,
+            train_fused=self.train_fused_conv, name=name)
 
         maps = maps.astype(cd)
 

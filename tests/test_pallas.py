@@ -420,6 +420,58 @@ def test_fuse_pair_model_matches_default(rng, model_type):
                                atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("model_type", ["unet", "unet++"])
+def test_train_fused_conv_matches_xla(rng, model_type):
+    """train_fused_conv routes the narrow train-mode convs through the
+    lane-packed Pallas forward with a custom VJP (ops/train_conv.py):
+    forward, loss, parameter gradients, and BN batch-stat updates must all
+    match the XLA path at reassociation tolerance (f32)."""
+    import maunet_tpu.ops.pallas.packed_vgg as pvgg
+    from maunet_tpu.models.factory import UrbanPredictor
+
+    args = (jnp.asarray(rng.normal(size=(2, 32, 32, 23)), jnp.float32),
+            jnp.asarray(rng.normal(size=(2, 48)), jnp.float32),
+            jnp.asarray(rng.normal(size=(2, 8)), jnp.float32),
+            jnp.full((2,), 48, jnp.int32))
+    kw = dict(base_filters=64 if model_type == "unet" else 32,
+              temporal_dim=8, meta_dim=8, lstm_dim=8,
+              compute_dtype=jnp.float32)
+    m0 = UrbanPredictor(model_type, **kw)
+    m1 = UrbanPredictor(model_type, train_fused_conv=True, **kw)
+    v = m0.init(jax.random.PRNGKey(0), *args, train=True)
+    params, stats = v["params"], v["batch_stats"]
+
+    def loss_fn(m):
+        def f(p):
+            out, upd = m.apply({"params": p, "batch_stats": stats}, *args,
+                               train=True, mutable=["batch_stats"])
+            y = out[0] if isinstance(out, (list, tuple)) else out
+            return jnp.mean(y.astype(jnp.float32) ** 2), upd
+        return f
+
+    (l0, upd0), g0 = jax.value_and_grad(loss_fn(m0), has_aux=True)(params)
+    assert not pvgg.INTERPRET
+    pvgg.INTERPRET = True
+    try:
+        (l1, upd1), g1 = jax.value_and_grad(loss_fn(m1), has_aux=True)(params)
+    finally:
+        pvgg.INTERPRET = False
+    np.testing.assert_allclose(float(l1), float(l0), rtol=2e-5)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = {jax.tree_util.keystr(k): x
+             for k, x in jax.tree_util.tree_leaves_with_path(g1)}
+    for k, x0 in flat0:
+        x1 = flat1[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(np.asarray(x1), np.asarray(x0),
+                                   atol=5e-4, rtol=5e-3,
+                                   err_msg=jax.tree_util.keystr(k))
+    s0 = jax.tree_util.tree_leaves(upd0["batch_stats"])
+    s1 = jax.tree_util.tree_leaves(upd1["batch_stats"])
+    for a, b in zip(s1, s0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("h,w,s,cmid,cins,add_term", [
     # U-Net++ level-0 node class: two 32-ch parts + embedding add, s=4
     (16, 32, 4, 32, (32, 32), True),
