@@ -34,6 +34,10 @@ def _run_cluster(tmp_path, nprocs, local_devices, port, spatial=1):
     outs = [str(tmp_path / f"out_{p}.json") for p in range(nprocs)]
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = "cpu"
+    # The worker runs in script mode (sys.path[0] = tests/), so the repo
+    # root must ride PYTHONPATH — the suite can't assume an editable
+    # install exists in the venv (it broke on a fresh container).
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(p), data, outs[p], str(nprocs),
