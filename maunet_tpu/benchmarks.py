@@ -220,8 +220,10 @@ def bench_eval_pipeline(rng, tmp_dir: str) -> None:
     from maunet_tpu.train import create_train_state, make_optimizer
     from maunet_tpu.train.checkpoint import save_checkpoint
 
-    n_test = 64
-    root = os.path.join(tmp_dir, "bench_eval_data")
+    n_test = 256  # large enough that per-call fixed costs (checkpoint load,
+    # CSV write) amortize and the steady-state loop dominates, as it does on
+    # the reference's thousands-of-tiles test split
+    root = os.path.join(tmp_dir, "bench_eval_data256")
     if not os.path.isdir(os.path.join(root, "test")):
         generate_dataset(root, {"train": 2, "val": 1, "test": n_test},
                          hw=256, temporal_len=828)

@@ -14,6 +14,7 @@ files (converted on the fly via maunet_tpu.interop).
 
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 from typing import Any
@@ -50,6 +51,19 @@ class LoadedModel:
     meta: dict
 
 
+def _device_resident(variables):
+    """Commit restored variables to device ONCE.  Both the orbax and the
+    torch-interop loaders return host numpy pytrees; passing those to a
+    jitted forward re-uploads every parameter on EVERY dispatch (~132 MB
+    for U-Net-64 — measured 1041 ms vs 0.1 ms per dispatch on the v5e
+    relay, the difference between 1 and 900+ tiles/s in the evaluator
+    pipeline).  Multi-process setups keep host arrays: the shard_map
+    callers assemble globally-replicated arrays themselves."""
+    if jax.process_count() > 1:
+        return variables
+    return jax.device_put(variables)
+
+
 def load_any_checkpoint(path: str, study_name: str = "",
                         compute_dtype=None) -> LoadedModel:
     """Load a native orbax checkpoint directory or a reference .pth file."""
@@ -63,7 +77,8 @@ def load_any_checkpoint(path: str, study_name: str = "",
         model = build_model(hyperparams, lstm_mask_mode="batch_max",
                             compute_dtype=compute_dtype)
         meta = {k: v for k, v in ckpt.items() if k != "model_state_dict"}
-        return LoadedModel(model, variables, hyperparams, meta)
+        return LoadedModel(model, _device_resident(variables), hyperparams,
+                           meta)
 
     from maunet_tpu.train.checkpoint import restore_variables
 
@@ -72,7 +87,32 @@ def load_any_checkpoint(path: str, study_name: str = "",
     hyperparams.setdefault("metadata_input_length",
                            meta.get("metadata_input_length", 8))
     model = build_model(hyperparams, compute_dtype=compute_dtype)
-    return LoadedModel(model, variables, hyperparams, meta)
+    return LoadedModel(model, _device_resident(variables), hyperparams, meta)
+
+
+@functools.lru_cache(maxsize=8)
+def _metrics_program(model, metadata_features: int, stats, mesh):
+    """Jitted ``(variables, batch) -> (metrics, outputs_un, targets_un)``,
+    cached ACROSS ``evaluate_checkpoint`` calls.  A fresh closure per call
+    would re-trace and re-compile the whole program (~10-20 s through the
+    relay) even when the architecture is identical; linen Modules,
+    ``NormalizationStats`` and ``Mesh`` all hash by value, so two calls
+    evaluating the same configuration share one executable."""
+    forward = make_forward_fn(model, metadata_features)
+
+    def _batch_metrics(variables, batch):
+        outputs = forward(variables, batch)
+        targets_un = unnormalize_targets(batch["targets"], stats)
+        outputs_un = unnormalize_targets(outputs, stats)
+        dw = dw_map_from_input(batch["maps"])
+        m = eval_metrics(outputs_un, targets_un, dw)
+        return m, outputs_un, targets_un
+
+    if mesh is not None:
+        from maunet_tpu.parallel.infer import shard_batch_fn
+
+        return shard_batch_fn(_batch_metrics, mesh)
+    return jax.jit(_batch_metrics)
 
 
 def predict_batch(loaded: LoadedModel, batch) -> np.ndarray:
@@ -156,41 +196,59 @@ def evaluate_checkpoint(
 
     ds = open_split(data_dir, "test",
                     temporal_length=cfg.dataset.temporal_length)
-    forward = make_forward_fn(loaded.model, metadata_features)
-
-    def _batch_metrics(variables, batch):
-        outputs = forward(variables, batch)
-        targets_un = unnormalize_targets(batch["targets"],  # type: ignore[arg-type]
-                                         stats)
-        outputs_un = unnormalize_targets(outputs, stats)
-        dw = dw_map_from_input(batch["maps"])
-        m = eval_metrics(outputs_un, targets_un, dw)
-        return m, outputs_un, targets_un
 
     batch_sharding = None
     if mesh is not None:
         from maunet_tpu.parallel.infer import (flat_batch_sharding,
-                                               round_up_to_mesh,
-                                               shard_batch_fn)
+                                               round_up_to_mesh)
 
         batch_size = round_up_to_mesh(batch_size, mesh)
-        batch_metrics = shard_batch_fn(_batch_metrics, mesh)
         batch_sharding = flat_batch_sharding(mesh)
-    else:
-        batch_metrics = jax.jit(_batch_metrics)
+        if jax.process_count() == 1:
+            # Replicate the variables over the mesh ONCE — a single-device-
+            # committed pytree would be re-broadcast on every dispatch.
+            from maunet_tpu.parallel.mesh import replicated
+
+            loaded.variables = jax.device_put(loaded.variables,
+                                              replicated(mesh))
+    batch_metrics = _metrics_program(loaded.model, metadata_features, stats,
+                                     mesh)
 
     channels = list(cfg.dataset.target_channels)
     results: list[dict] = []
     sample_idx = 0
     created_visuals = 0
 
-    for batch in prefetch_to_device(make_batches(ds, batch_size),
-                                    sharding=batch_sharding):
+    # Dispatch the whole epoch asynchronously, then fetch once.  A per-batch
+    # ``device_get`` (round 4) synchronized the relay every batch — each
+    # round trip costs ~1 s of tunnel latency, two orders of magnitude above
+    # the 8 ms forward — so the device idled between batches.  Deferring the
+    # fetch keeps the pipeline full: the prefetch worker uploads batch i+1
+    # while the device runs batch i, and the host pays ONE sync at the end.
+    from maunet_tpu.data.pipeline import cast_maps_bf16
+
+    pending: list[dict] = []
+    for batch in prefetch_to_device(
+            make_batches(ds, batch_size), sharding=batch_sharding,
+            host_transform=cast_maps_bf16 if compute_dtype == jnp.bfloat16
+            else None):
         metrics, outputs_un, targets_un = batch_metrics(loaded.variables, batch)
-        metrics = jax.device_get(metrics)
-        valid = np.asarray(batch["valid"])
-        t1 = np.asarray(batch["t1_dates"])
-        t2 = np.asarray(batch["t2_dates"])
+        entry = {"metrics": metrics, "valid": batch["valid"],
+                 "t1": batch["t1_dates"], "t2": batch["t2_dates"]}
+        if len(pending) * batch_size < n_visualize:
+            # Only visualization batches retain (and later fetch) images.
+            entry["images"] = (batch["maps"], outputs_un, targets_un)
+        pending.append(entry)
+    fetched = jax.device_get(pending)
+
+    for entry in fetched:
+        metrics = entry["metrics"]
+        valid = np.asarray(entry["valid"])
+        t1 = np.asarray(entry["t1"])
+        t2 = np.asarray(entry["t2"])
+        maps_h = outputs_un = targets_un = None
+        if "images" in entry:
+            maps_h, outputs_un, targets_un = entry["images"]
 
         if np.isnan(metrics["mae"][valid]).any():
             log.error(f"NaN values found in outputs near sample {sample_idx}")
@@ -241,11 +299,11 @@ def evaluate_checkpoint(
                         **base,
                     })
 
-            if created_visuals < n_visualize:
+            if created_visuals < n_visualize and maps_h is not None:
                 from maunet_tpu.evaluate.visualize import plot_evaluation_sample
 
                 plot_evaluation_sample(
-                    np.asarray(batch["maps"][i]),
+                    np.asarray(maps_h[i], dtype=np.float32),
                     np.asarray(targets_un[i]), np.asarray(outputs_un[i]),
                     pd.DataFrame(results[first_row:]),
                     channels, stats, info, study_name, trial_id, sample_idx,

@@ -35,6 +35,21 @@ _HW = 8  # row-block quantum (bh candidates are multiples of this)
 # pack-equivalence tests; production gates on jax.default_backend()=='tpu').
 INTERPRET = False
 
+# Ledger side-table: kernel name -> static call config, filled at trace time
+# (utils/mxu_ledger.py reads it to compute per-kernel MXU-pass rooflines and
+# match them against XPlane trace rows by name).
+CALL_CONFIGS: dict[str, dict] = {}
+
+
+def _kernel_name(kind: str, cins, s: int, cout: int, bh: int, *,
+                 cmid: int | None = None) -> str:
+    """Config-derived kernel name: shows up verbatim in the XPlane 'XLA Ops'
+    lane, so every fused row in a trace is attributable to its exact
+    (cins, s, cout, bh) without shape detective work."""
+    cstr = "_".join(str(c) for c in cins)
+    mid = f"_m{cmid}" if cmid is not None else ""
+    return f"pvgg_{kind}_c{cstr}_s{s}{mid}_o{cout}_bh{bh}"
+
 
 def supported(parts_shapes, cins, s: int, cout: int) -> bool:
     """parts_shapes: [(B, H, G, s*cin_p)] of the packed inputs."""
