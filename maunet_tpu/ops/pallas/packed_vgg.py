@@ -263,6 +263,7 @@ def _make_kernel(bh: int, cins, s: int, cout: int, relu: bool,
             acc = jnp.maximum(acc, 0.0)
         out_ref[0] = acc.astype(out_dtype)
 
+    kernel.__name__ = _kernel_name("conv", cins, s, cout, bh)
     return kernel
 
 
@@ -363,6 +364,7 @@ def _make_pair_kernel(bh: int, cins, s: int, cmid: int, cout: int,
         acc = jnp.maximum(acc + b2_ref[0], 0.0)
         out_ref[0] = acc.astype(out_dtype)
 
+    kernel.__name__ = _kernel_name("pair", cins, s, cout, bh, cmid=cmid)
     return kernel
 
 
@@ -391,6 +393,10 @@ def packed_pair_fused(parts: tuple[jnp.ndarray, ...],
     bh = _pick_bh_pair(h, g, cins, s, cmid, cout)
     assert bh is not None, (parts[0].shape, cins, s, cmid, cout)
     dtype = parts[0].dtype
+    CALL_CONFIGS[_kernel_name("pair", cins, s, cout, bh, cmid=cmid)] = {
+        "kind": "pair", "b": b, "h": h, "g": g, "bh": bh, "cins": cins,
+        "s": s, "cmid": cmid, "cout": cout,
+        "per_part_halo": _per_part_halo(cins, s)}
 
     a1, b1 = affine1
     a2, b2 = affine2
@@ -467,6 +473,9 @@ def packed_conv3x3_fused(parts: tuple[jnp.ndarray, ...],
     bh = _pick_bh(h, g, cins, s, cout)
     assert bh is not None, (parts[0].shape, cins, s, cout)
     dtype = parts[0].dtype
+    CALL_CONFIGS[_kernel_name("conv", cins, s, cout, bh)] = {
+        "kind": "conv", "b": b, "h": h, "g": g, "bh": bh, "cins": cins,
+        "s": s, "cout": cout, "per_part_halo": _per_part_halo(cins, s)}
 
     # Fold the affine SCALE into the weights (y = conv(w·a) + (add·a) + b):
     # the epilogue then pays one bias add instead of mul+add, and the halo

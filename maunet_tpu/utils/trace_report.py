@@ -49,12 +49,16 @@ def parse_xplane(logdir: str, n_steps: int) -> dict:
     device_pids = {p for p, n in pnames.items() if "TPU" in n}
     durs: collections.Counter = collections.Counter()
     cnts: collections.Counter = collections.Counter()
+    long_names: dict[str, str] = {}
     total, tmin, tmax = 0.0, float("inf"), 0.0
     for e in events:
         if (e.get("ph") == "X" and e["pid"] in device_pids
                 and tnames.get((e["pid"], e.get("tid"))) == "XLA Ops"):
             durs[e["name"]] += e["dur"]
             cnts[e["name"]] += 1
+            ln = e.get("args", {}).get("long_name")
+            if ln and e["name"] not in long_names:
+                long_names[e["name"]] = ln  # full HLO op incl. operand shapes
             total += e["dur"]
             tmin = min(tmin, e["ts"])
             tmax = max(tmax, e["ts"] + e["dur"])
@@ -65,7 +69,7 @@ def parse_xplane(logdir: str, n_steps: int) -> dict:
         "n_steps": n_steps,
         "kernels": [
             {"name": name, "total_ms": d / 1e3, "per_step_ms": d / 1e3 / n_steps,
-             "count": cnts[name]}
+             "count": cnts[name], "long_name": long_names.get(name)}
             for name, d in durs.most_common()
         ],
     }
