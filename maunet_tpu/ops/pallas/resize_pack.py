@@ -52,22 +52,30 @@ from jax.experimental.pallas import tpu as pltpu
 from maunet_tpu.ops.resize import _interp_matrix
 
 _HW = 8      # halo block rows; also the sublane quantum the plan requires
-_TAPS = 4    # fixed H-pass taps per output row: g(r)-1 .. g(r)+2
+_TAPS = 4    # max H-pass taps per output row (window g(r)-1 .. g(r)+2)
 
 
 class _Plan:
     def __init__(self, mr, weights):
         self.mr = mr              # main-block input rows per output block
-        self.weights = weights    # (nb, _TAPS, br) f32 H-pass tap weights
+        self.weights = weights    # (nb, taps, br) f32 H-pass tap weights
+
+    @property
+    def taps(self) -> int:
+        return self.weights.shape[1]
 
 
 @functools.lru_cache(maxsize=256)
 def _row_plan(h: int, oh: int, br: int) -> _Plan | None:
     """Per-block H-pass tap weights over the (halo|main|halo) window.
 
-    Returns None when the fixed 4-tap pattern cannot express the
-    align-corners row interpolation for some block (caller falls back to
-    the XLA path)."""
+    Tries the smallest tap window first: a pure align-corners upsample has
+    at most 2 nonzero source rows per output row, and every VPU tap pass
+    runs over the full (w, C) plane — the 4→2 tap cut halves the H-pass
+    VPU time of the hot level-0 decoder resizes.  Falls back to wider
+    windows when the fixed pattern g(r)-1+k cannot reach some block's true
+    source rows; returns None (caller takes the XLA path) if even 4 taps
+    cannot."""
     if oh % br or br * h % oh or h % _HW:
         return None
     mr = br * h // oh
@@ -76,25 +84,34 @@ def _row_plan(h: int, oh: int, br: int) -> _Plan | None:
     nb = oh // br
     n_hblk = h // _HW
     wh = _interp_matrix(h, oh)                    # (oh, h)
-    weights = np.zeros((nb, _TAPS, br), np.float32)
-    for i in range(nb):
-        li = max(i * (mr // _HW) - 1, 0)
-        ri = min(i * (mr // _HW) + mr // _HW, n_hblk - 1)
-        # global input row held at each window position
-        rows = (list(range(li * _HW, li * _HW + _HW))
-                + list(range(i * mr, i * mr + mr))
-                + list(range(ri * _HW, ri * _HW + _HW)))
-        for r in range(br):
-            g = (r * h) // oh + _HW
-            for gl_row in np.nonzero(wh[i * br + r])[0]:
-                for k in range(_TAPS):
-                    t = g - 1 + k
-                    if 0 <= t < len(rows) and rows[t] == gl_row:
-                        weights[i, k, r] = wh[i * br + r, gl_row]
+    for taps in (2, 3, _TAPS):
+        weights = np.zeros((nb, taps, br), np.float32)
+        ok = True
+        for i in range(nb):
+            if not ok:
+                break
+            li = max(i * (mr // _HW) - 1, 0)
+            ri = min(i * (mr // _HW) + mr // _HW, n_hblk - 1)
+            # global input row held at each window position
+            rows = (list(range(li * _HW, li * _HW + _HW))
+                    + list(range(i * mr, i * mr + mr))
+                    + list(range(ri * _HW, ri * _HW + _HW)))
+            for r in range(br):
+                g = (r * h) // oh + _HW
+                for gl_row in np.nonzero(wh[i * br + r])[0]:
+                    for k in range(taps):
+                        t = g - 1 + k
+                        if 0 <= t < len(rows) and rows[t] == gl_row:
+                            weights[i, k, r] = wh[i * br + r, gl_row]
+                            break
+                    else:
+                        ok = False                # tap window can't reach
                         break
-                else:
-                    return None                   # tap window can't reach
-    return _Plan(mr, weights)
+                if not ok:
+                    break
+        if ok:
+            return _Plan(mr, weights)
+    return None
 
 
 def _pick_br(oh: int, ow: int, c: int) -> int:
@@ -133,7 +150,7 @@ def supported(in_hw, out_hw, s: int, c: int, s_in: int = 1) -> bool:
 
 
 def _make_kernel(br: int, mr: int, h_ratio: tuple[int, int], out_dtype,
-                 s: int = 1, s_in: int = 1, c: int = 0):
+                 s: int = 1, s_in: int = 1, c: int = 0, taps: int = _TAPS):
     h, oh = h_ratio
 
     def kernel(ww_ref, wt_ref, left_ref, main_ref, right_ref, out_ref):
@@ -142,35 +159,40 @@ def _make_kernel(br: int, mr: int, h_ratio: tuple[int, int], out_dtype,
         dt = xw.dtype
         rows = []
         for r in range(br):
-            # H-pass: fixed 4-tap window (dim-0 static indexing), per-row
-            # scalar weights from SMEM, f32 VPU accumulation.
+            # H-pass: fixed tap window (dim-0 static indexing), per-row
+            # scalar weights from SMEM, f32 VPU accumulation.  The plan
+            # already shrank the window to the fewest taps that reach every
+            # true source row (2-3 for the pure-upsample decoder chains).
             g = (r * h) // oh + _HW
             acc = None
-            for k in range(_TAPS):
+            for k in range(taps):
                 term = wt_ref[0, k, r] * xw[g - 1 + k].astype(jnp.float32)
                 acc = term if acc is None else acc + term
             acc = acc.astype(dt)
             if s_in > 1:
-                # Packed input (g_in, s_in·C): each input phase q holds
-                # column g·s_in + q at lanes [q·C, (q+1)·C) — contract the
-                # phases separately against their column-sliced matrices
-                # and sum (same taps, split by source-column residue).
-                phases = []
-                for p in range(max(s, 1)):
-                    o = None
-                    for q in range(s_in):
-                        xq = acc[:, q * c:(q + 1) * c]
-                        d = jax.lax.dot_general(
-                            ww_ref[p, q], xq, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        o = d if o is None else o + d
-                    phases.append(o)
-                rows.append(phases[0] if len(phases) == 1
-                            else jnp.concatenate(phases, axis=-1))
+                # Packed input (g_in, s_in·C): phase q holds column
+                # g·s_in + q at lanes [q·C, (q+1)·C).  The phases
+                # sublane-concatenate into ONE (s_in·g_in, C) operand and
+                # contract against row-stacked matrices: per output phase a
+                # single K=s_in·g_in dot instead of s_in K=g_in dots that
+                # each zero-pad K to the 128-wide MXU pass (the level-0
+                # decoder resize runs gi=64 — the concat halves its MXU
+                # passes).
+                xcat = jnp.concatenate(
+                    [acc[:, q * c:(q + 1) * c] for q in range(s_in)], axis=0)
+                rows.append(jnp.concatenate(
+                    [jax.lax.dot_general(
+                        ww_ref[p], xcat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                     for p in range(max(s, 1))], axis=-1)
+                    if s > 1 else
+                    jax.lax.dot_general(
+                        ww_ref[0], xcat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))
             elif s == 1:
                 # W-pass: one (ow, w) x (w, C) MXU matmul per row.
                 rows.append(jax.lax.dot_general(
-                    ww_ref[...], acc, (((1,), (0,)), ((), ())),
+                    ww_ref[0], acc, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
             else:
                 # Packed emit: one dot per sub-pixel phase — phase p's
@@ -213,19 +235,24 @@ def resize_pack(x: jnp.ndarray, out_hw: tuple[int, int], s: int = 1,
     if s > 1:
         # phase p rows: p, p+s, … — see the kernel's packed-emit comment
         wwn = wwn.reshape(ow // s, s, w).transpose(1, 0, 2)    # (s, ow/s, w)
+    else:
+        wwn = wwn[None]                                        # (1, ow, w)
     if s_in > 1:
-        # split columns by input phase: (…, w) → (s, s_in, ow/s, g_in)
-        wwn = wwn.reshape(max(s, 1), ow // max(s, 1), gi, s_in)
-        wwn = wwn.transpose(0, 3, 1, 2)
+        # Row-stack the input-phase column slices to match the kernel's
+        # sublane-concat operand: K index q·g_in + g ↔ source column
+        # g·s_in + q — (s, ow/s, w) → (s, ow/s, s_in·g_in).
+        wwn = wwn.reshape(wwn.shape[0], wwn.shape[1], gi, s_in)
+        wwn = wwn.transpose(0, 1, 3, 2).reshape(
+            wwn.shape[0], wwn.shape[1], s_in * gi)
     ww = jnp.asarray(wwn, dtype)
-    wt = jnp.asarray(plan.weights, jnp.float32)                # (nb,4,br)
+    wt = jnp.asarray(plan.weights, jnp.float32)                # (nb,taps,br)
     nb = oh // br
     mh, nhb = mr // _HW, h // _HW
 
     grid = (b, nb)
     in_specs = [
         pl.BlockSpec(ww.shape, lambda bi, i: (0,) * ww.ndim),
-        pl.BlockSpec((1, _TAPS, br), lambda bi, i: (i, 0, 0),
+        pl.BlockSpec((1, plan.taps, br), lambda bi, i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, _HW, gi, sc),
                      lambda bi, i: (bi, jnp.maximum(i * mh - 1, 0), 0, 0)),
@@ -235,7 +262,7 @@ def resize_pack(x: jnp.ndarray, out_hw: tuple[int, int], s: int = 1,
                                     0, 0)),
     ]
     out = pl.pallas_call(
-        _make_kernel(br, mr, (h, oh), dtype, s, s_in, c),
+        _make_kernel(br, mr, (h, oh), dtype, s, s_in, c, plan.taps),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, br, ow // s, s * c),
